@@ -1,0 +1,141 @@
+"""GMFlow multi-view matching encoder (functional JAX, NHWC).
+
+Top-level encoder mirroring models/gmflow/gmflow.py:11-150: ImageNet
+normalization, shared CNN backbone over all views, C(V,2) ordered-pair
+expansion, per-window sine position embedding, cross-view feature transformer,
+and the two-branch feature upsampler. Returns per-scale pair-feature stacks
+[B, P, 2, h, w, C] (side 0 = lower view index of the pair), raw 1/8-res scale
+first then the upsampled scale — the layout consumed by the grouped
+cosine-similarity matching prior.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.posenc import sine_position_embedding_2d
+from ...ops.resize import resize_bilinear_align_corners
+from .backbone import apply_cnn_encoder, init_cnn_encoder
+from .superres import apply_upsampler, init_upsampler
+from .transformer import apply_feature_transformer, init_feature_transformer
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+def pair_index_lists(n_views: int) -> List[Tuple[int, int]]:
+    """All ordered pairs (a, b) with a < b (gmflow.py:49, matchnerf.py:193)."""
+    return [(a, b) for a in range(n_views - 1) for b in range(a + 1, n_views)]
+
+
+def normalize_images(images):
+    """images: [..., H, W, 3] in [0,1] -> ImageNet-normalized (gmflow.py:82-89)."""
+    return (images - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def init_gmflow(key, feature_channels: int = 128, num_transformer_layers: int = 6,
+                ffn_dim_expansion: int = 4, feature_upsampler: str = "network",
+                upsample_factor: int = 2, num_scales: int = 1):
+    ks = jax.random.split(key, 3)
+    p = {
+        "backbone": init_cnn_encoder(ks[0], output_dim=feature_channels,
+                                     num_output_scales=num_scales),
+        "transformer": init_feature_transformer(ks[1], num_layers=num_transformer_layers,
+                                                d_model=feature_channels,
+                                                ffn_dim_expansion=ffn_dim_expansion),
+    }
+    if feature_upsampler == "network":
+        p["featup_net"] = init_upsampler(ks[2], n_feat=feature_channels,
+                                         upsample_factor=upsample_factor)
+    return p
+
+
+def _feature_add_position(feat, attn_splits: int, feature_channels: int):
+    """Add DETR sine PE per attention window (models/gmflow/utils.py:68-88).
+
+    feat: [B,H,W,C]. When attn_splits>1 the PE is computed at window shape and
+    tiled over the K x K windows — identical to split/add/merge."""
+    b, h, w, c = feat.shape
+    if attn_splits > 1:
+        hs, ws = h // attn_splits, w // attn_splits
+        pos = sine_position_embedding_2d(hs, ws, num_pos_feats=feature_channels // 2)
+        pos = jnp.tile(pos, (attn_splits, attn_splits, 1))
+    else:
+        pos = sine_position_embedding_2d(h, w, num_pos_feats=feature_channels // 2)
+    return feat + pos[None]
+
+
+def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
+                                 keep_raw_feats: bool = True, wo_self_attn: bool = False,
+                                 wo_cross_attn: bool = False, layers_caps=None,
+                                 feature_channels: int = 128, num_scales: int = 1,
+                                 feature_upsampler: str = "network"):
+    """Encode source views into matched pair features.
+
+    images: [B, V, H, W, 3] in [0,1]. Returns a list over scales of
+    [B, P, 2, h, w, C] arrays (raw transformer scale first when
+    keep_raw_feats, then the upsampled scale), P = C(V,2).
+    """
+    b, v, img_h, img_w, _ = images.shape
+    assert v == n_views
+    pairs = pair_index_lists(n_views)
+    n_pairs = len(pairs)
+
+    # ibrnet inference-size hack (gmflow.py:100-103): 756x1008 -> 768x1024
+    if img_h == 756 and img_w == 1008:
+        flat = images.reshape(b * v, img_h, img_w, 3)
+        flat = resize_bilinear_align_corners(flat, 768, 1024)
+        img_h, img_w = 768, 1024
+        images = flat.reshape(b, v, img_h, img_w, 3)
+
+    # backbone over all views at once (gmflow.py:51)
+    feats = apply_cnn_encoder(params["backbone"],
+                              normalize_images(images).reshape(b * v, img_h, img_w, 3),
+                              num_output_scales=num_scales)
+    feats = feats[::-1]  # low-to-high resolution (gmflow.py:53-54)
+
+    all_scales = list(range(num_scales))
+    if len(all_scales) != len(attn_splits_list):
+        all_scales += [all_scales[-1]] * (len(attn_splits_list) - len(all_scales))
+    if layers_caps is None:
+        layers_caps = [None] * len(attn_splits_list)
+
+    out_scales = []
+    for att_idx, scale_idx in enumerate(all_scales):
+        feat = feats[scale_idx]
+        _, h, w, c = feat.shape
+        feat = feat.reshape(b, v, h, w, c)
+
+        # pair expansion: gather view features for both sides of every pair
+        idx0 = jnp.array([p[0] for p in pairs])
+        idx1 = jnp.array([p[1] for p in pairs])
+        feat0 = feat[:, idx0].reshape(b * n_pairs, h, w, c)
+        feat1 = feat[:, idx1].reshape(b * n_pairs, h, w, c)
+
+        attn_splits = attn_splits_list[att_idx]
+        feat0 = _feature_add_position(feat0, attn_splits, feature_channels)
+        feat1 = _feature_add_position(feat1, attn_splits, feature_channels)
+
+        feat0, feat1 = apply_feature_transformer(
+            params["transformer"], feat0, feat1, attn_num_splits=attn_splits,
+            layers_cap=layers_caps[att_idx], wo_cross_attn=wo_cross_attn,
+            wo_self_attn=wo_self_attn)
+
+        if keep_raw_feats:
+            out_scales.append(jnp.stack([feat0, feat1], axis=1)
+                              .reshape(b, n_pairs, 2, h, w, c))
+
+        if feature_upsampler == "network":
+            merged = jnp.concatenate([feat0, feat1], axis=0)
+            up = apply_upsampler(params["featup_net"], merged)
+            up0, up1 = jnp.split(up, 2, axis=0)
+            uh, uw = up0.shape[1:3]
+            out_scales.append(jnp.stack([up0, up1], axis=1)
+                              .reshape(b, n_pairs, 2, uh, uw, c))
+        else:
+            out_scales.append(jnp.stack([feat0, feat1], axis=1)
+                              .reshape(b, n_pairs, 2, h, w, c))
+
+    return out_scales

@@ -1,0 +1,172 @@
+"""MatchNeRF model: encoder + matching prior + conditional NeRF renderer.
+
+Functional re-design of models/matchnerf.py:13-325. The jittable core is
+`render_rays`: given target-ray pixel coords, camera tensors, source images
+and encoded pair features, it casts rays, samples depth, projects samples
+into every source view, builds the grouped cosine-similarity matching prior
+(matchnerf.py:209-293), evaluates the conditional NeRF and composites — all
+with static shapes batched over [B, R, S].
+
+Design notes (TPU-first):
+- the per-view / per-pair python loops of the reference become `vmap`s over
+  stacked view/pair axes -> a few large gathers and matmuls
+- the reference computes the view-0 NDC projection twice (matchnerf.py:126
+  and :232); here it is computed once and reused
+- the legacy float64 target-pose inverse (camera.py:231-240) is precomputed
+  host-side; the jitted graph takes `tgt_c2w` directly
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import camera
+from ..ops.grid_sample import grid_sample_2d, in_frustum_mask, sample_features_by_grid
+from .decoder.cond_nerf import apply_cond_nerf, composite, init_cond_nerf
+from .gmflow.gmflow import gmflow_extract_pair_features, init_gmflow, pair_index_lists
+
+
+def init_matchnerf(key, cfg):
+    k_enc, k_dec = jax.random.split(key)
+    return {
+        "feat_enc": init_gmflow(
+            k_enc, feature_channels=128,
+            num_transformer_layers=cfg.encoder.num_transformer_layers,
+            ffn_dim_expansion=4,
+            feature_upsampler=cfg.encoder.feature_upsampler,
+            upsample_factor=cfg.encoder.upsample_factor),
+        "nerf_dec": init_cond_nerf(k_dec, cfg),
+    }
+
+
+def encode(params, cfg, ref_images) -> List[jnp.ndarray]:
+    """ref_images: [B, V, H, W, 3] in [0,1] -> per-scale [B,P,2,h,w,C] stacks
+    (matchnerf.py:183-207 / gmflow.py:91-150)."""
+    return gmflow_extract_pair_features(
+        params["feat_enc"], ref_images,
+        attn_splits_list=list(cfg.encoder.attn_splits_list),
+        n_views=cfg.n_src_views, keep_raw_feats=True,
+        wo_self_attn=cfg.encoder.wo_self_attn)
+
+
+def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
+                 rng: Optional[jax.Array] = None, stratified: bool = False):
+    """[B,R,S,1] depth samples (matchnerf.py:163-181). `near_far`: [B,2] of the
+    target pose; legacy uses 0 shift and S-1 denominator."""
+    S = cfg.nerf.sample_intvs
+    legacy = cfg.nerf.legacy_coord
+    rand_shift = 0.0 if legacy else 0.5
+    denom = (S - 1) if legacy else S
+    if stratified:
+        assert rng is not None
+        rand = jax.random.uniform(rng, (batch_size, num_rays, S, 1))
+    else:
+        rand = jnp.full((batch_size, num_rays, S, 1), rand_shift, jnp.float32)
+    rand = rand + jnp.arange(S, dtype=jnp.float32)[None, None, :, None]
+    dmin = near_far[:, :1].reshape(batch_size, 1, 1, 1)
+    dmax = near_far[:, 1:].reshape(batch_size, 1, 1, 1)
+    depth = rand / denom * (dmax - dmin) + dmin
+    if cfg.nerf.depth.param == "inverse":
+        depth = 1.0 / (depth + 1e-8)
+    return depth
+
+
+def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
+    """Split channels into groups and cosine-compare (matchnerf.py:262-268).
+
+    a, b: [B,R,S,C] -> [B,R,S,G]; channel-major grouping matches the torch
+    reshape (B, G, C/G, ...)."""
+    B, R, S, C = a.shape
+    ag = a.reshape(B, R, S, n_groups, C // n_groups)
+    bg = b.reshape(B, R, S, n_groups, C // n_groups)
+    dot = (ag * bg).sum(-1)
+    na = jnp.maximum(jnp.linalg.norm(ag, axis=-1), eps)
+    nb = jnp.maximum(jnp.linalg.norm(bg, axis=-1), eps)
+    return dot / (na * nb)
+
+
+def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
+                    pair_feats: List[jnp.ndarray], img_h: int, img_w: int):
+    """Build the decoder conditioning from source views (matchnerf.py:209-293).
+
+    pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
+    pair_feats: per-scale [B,P,2,h,w,C].
+    Returns dict(feat_info [B,R,S,sum(G)], color_info [B,R,S,3V],
+    mask_info [B,R,S,V]) and the view-0 NDC coords [B,R,S,3] for reuse.
+    """
+    B, V = ref_images.shape[:2]
+    cos_n_group = cfg.encoder.cos_n_group
+    cos_n_group = [cos_n_group] if isinstance(cos_n_group, int) else list(cos_n_group)
+    inv_scale = jnp.tile(jnp.array([[img_w - 1, img_h - 1]], jnp.float32), (B, 1))
+
+    # projected normalized coords per view: [V,B,R,S,3]
+    ndc_all = jax.vmap(
+        lambda extr, intr, nf: camera.get_coord_ref_ndc(extr, intr, pts_3d, inv_scale, nf),
+        in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_near_far)
+    grids = ndc_all[..., :2] * 2.0 - 1.0                          # [V,B,R,S,2]
+
+    # colors + masks per view (matchnerf.py:244-250)
+    colors = jax.vmap(lambda img, g: grid_sample_2d(img, g), in_axes=(1, 0))(
+        ref_images, grids)                                         # [V,B,R,S,3]
+    masks = in_frustum_mask(grids)                                 # [V,B,R,S]
+    color_info = jnp.moveaxis(colors, 0, -2).reshape(B, *pts_3d.shape[1:3], V * 3)
+    mask_info = jnp.moveaxis(masks, 0, -1)                         # [B,R,S,V]
+
+    # grouped cosine similarity per scale, averaged over pairs
+    pairs = pair_index_lists(V)
+    local_r = cfg.encoder.feature_sample_local_radius
+    local_d = cfg.encoder.feature_sample_local_dilation
+    feat_chunks = []
+    for scale_idx, feats in enumerate(pair_feats):
+        G = cos_n_group[scale_idx]
+        per_pair = []
+        for p_idx, (i_idx, j_idx) in enumerate(pairs):
+            fa = sample_features_by_grid(feats[:, p_idx, 0], grids[i_idx],
+                                         local_radius=local_r, local_dilation=local_d)
+            fb = sample_features_by_grid(feats[:, p_idx, 1], grids[j_idx],
+                                         local_radius=local_r, local_dilation=local_d)
+            per_pair.append(_grouped_cosine(fa, fb, G))
+        feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))  # [B,R,S,G]
+    feat_info = jnp.concatenate(feat_chunks, axis=-1)
+
+    cond = {"feat_info": feat_info, "color_info": color_info, "mask_info": mask_info}
+    return cond, ndc_all[0]
+
+
+def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
+                ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
+                img_h: int, img_w: int, rng: Optional[jax.Array] = None,
+                stratified: bool = False, setbg_opaque: bool = False):
+    """Render a batch of rays (matchnerf.py:88-143).
+
+    pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
+    by the caller via `camera.pixel_grid`). Returns dict(rgb [B,R,3],
+    depth [B,R,1], opacity [B,R,1]).
+    """
+    B, R = pix_xy.shape[:2]
+    center, ray = camera.get_center_and_ray(pix_xy, tgt_intr, tgt_c2w)   # [B,R,3]
+    depth_samples = sample_depth(cfg, tgt_near_far, B, R, rng=rng, stratified=stratified)
+    pts_3d = camera.get_3d_points_from_depth(center, ray, depth_samples,
+                                             multi_samples=True)        # [B,R,S,3]
+
+    cond_info, ndc_view0 = query_cond_info(
+        cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
+        img_h, img_w)
+
+    if cfg.nerf.view_dep:
+        ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
+        R0 = ref_w2c[:, 0, :3, :3]                                        # [B,3,3]
+        ray_unit_ref = ray_unit @ jnp.swapaxes(R0, -1, -2)
+        ray_unit_ref = jnp.broadcast_to(ray_unit_ref[:, :, None, :],
+                                        (*pts_3d.shape[:3], 3))
+    else:
+        ray_unit_ref = None
+
+    rgb_samples, density_samples = apply_cond_nerf(
+        params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref, cond_info=cond_info)
+
+    rgb, depth, opacity, _ = composite(cfg, ray, rgb_samples, density_samples,
+                                       depth_samples, setbg_opaque=setbg_opaque)
+    return {"rgb": rgb, "depth": depth, "opacity": opacity}

@@ -1,0 +1,57 @@
+"""Attribute-access dict used for configs and batches.
+
+Plays the role the reference fills with the third-party `easydict`
+(`/root/reference/options.py:7`): nested dicts with dot access. Ours keeps
+plain-dict semantics (so it remains a valid JAX pytree of dict type) while
+recursively wrapping nested mappings.
+"""
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+
+class DotDict(dict):
+    """dict subclass with attribute read/write access, recursive on assignment."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        src: dict = dict(*args, **kwargs)
+        for k, v in src.items():
+            self[k] = v
+
+    def __setitem__(self, key, value):
+        if isinstance(value, Mapping) and not isinstance(value, DotDict):
+            value = DotDict(value)
+        elif isinstance(value, (list, tuple)):
+            value = type(value)(
+                DotDict(v) if isinstance(v, Mapping) and not isinstance(v, DotDict) else v
+                for v in value
+            )
+        super().__setitem__(key, value)
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any):
+        self[name] = value
+
+    def __delattr__(self, name: str):
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def copy(self) -> "DotDict":
+        return DotDict(self)
+
+
+def to_plain_dict(d: Any) -> Any:
+    """Recursively convert DotDict trees back to plain dicts (for YAML dumps)."""
+    if isinstance(d, Mapping):
+        return {k: to_plain_dict(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return type(d)(to_plain_dict(v) for v in d)
+    return d
