@@ -54,6 +54,18 @@ def install_reference():
     sys.modules["skvideo"].io = sys.modules["skvideo.io"]
     _stub("lpips", LPIPS=None)
 
+    class _ToTensor:
+        def __call__(self, x):
+            import numpy as _np
+            import torch as _torch
+            arr = _np.asarray(x, dtype=_np.float32) / 255.0
+            return _torch.from_numpy(arr.transpose(2, 0, 1))
+
+    _stub("torchvision")
+    _stub("torchvision.transforms", ToTensor=_ToTensor,
+          Compose=lambda fns: (lambda x: [x := f(x) for f in fns][-1]))
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+
     class _SSIMStub:
         pass
 
