@@ -61,9 +61,16 @@ def install_reference():
             arr = _np.asarray(x, dtype=_np.float32) / 255.0
             return _torch.from_numpy(arr.transpose(2, 0, 1))
 
+    def _compose(fns):
+        def run(x):
+            for f in fns:
+                x = f(x)
+            return x
+        return run
+
     _stub("torchvision")
     _stub("torchvision.transforms", ToTensor=_ToTensor,
-          Compose=lambda fns: (lambda x: [x := f(x) for f in fns][-1]))
+          Lambda=lambda f: f, Compose=_compose)
     sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
 
     class _SSIMStub:
