@@ -106,8 +106,12 @@ def apply_cond_nerf(p, cfg, points_3d, ray_unit=None, cond_info=None):
         ray_enc = ray_unit
 
     # density branch: 16-d token + ray transformer over samples
+    act_name = cfg.decoder.get("raytrans_act", "ReLU") if hasattr(cfg.decoder, "get") \
+        else getattr(cfg.decoder, "raytrans_act", "ReLU")
+    raytrans_act = {"ReLU": relu, "ELU": jax.nn.elu,
+                    "GELU": jax.nn.gelu}[act_name or "ReLU"]
     B, R, S = h.shape[:3]
-    raw_alpha = relu(linear(p["alpha_linear"], h))            # [B,R,S,16]
+    raw_alpha = raytrans_act(linear(p["alpha_linear"], h))    # [B,R,S,16]
     if cfg.decoder.raytrans_posenc:
         raw_alpha = raw_alpha + ray_sinusoid_table(16, S)
     mask = cond_info["mask_info"]
@@ -117,7 +121,7 @@ def apply_cond_nerf(p, cfg, points_3d, ray_unit=None, cond_info=None):
     alpha = apply_ray_attention(p["ray_attention"], raw_alpha, raw_alpha, raw_alpha,
                                 mask=(nv > 1).astype(jnp.float32))
     alpha = relu(linear(p["out_alpha_linear"][1],
-                        relu(linear(p["out_alpha_linear"][0], alpha))))
+                        raytrans_act(linear(p["out_alpha_linear"][0], alpha))))
     if cfg.decoder.density_maskfill:
         alpha = jnp.where(nv < 1, 0.0, alpha)
     density = alpha.reshape(B, R, S)

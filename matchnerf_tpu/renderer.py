@@ -1,0 +1,210 @@
+"""Host-device render orchestration: jit caching, slice rendering, video paths.
+
+The reference renders full images in slices of `rand_rays_test` rays
+(models/matchnerf.py:145-161) with dynamic slice sizes; under XLA every shape
+compiles a program, so here every slice is a fixed `rays_per_slice` chunk and
+the ragged tail is padded — one compiled executable per (H, W, V, R) config,
+cached across images and frames.
+
+Pose preparation (legacy float64 inverse, pixel grids, video trajectories)
+stays host-side in numpy; everything per-ray runs inside the jitted
+`render_rays` core.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import camera
+from .models.matchnerf import encode, render_rays, sample_depth  # noqa: F401
+from .utils import DotDict, log
+
+
+def extract_poses(batch: Dict) -> Dict:
+    """Split the (V+1)-view batch into target (last) and reference poses
+    (models/matchnerf.py:75-86). Host-side numpy."""
+    return {
+        "tgt": {
+            "extrinsics": batch["extrinsics"][:, -1, :3, :],
+            "intrinsics": batch["intrinsics"][:, -1],
+            "near_fars": batch["near_fars"][:, -1],
+        },
+        "ref": {
+            "extrinsics": batch["extrinsics"][:, :-1, :3, :],
+            "intrinsics": batch["intrinsics"][:, :-1],
+            "near_fars": batch["near_fars"][:, :-1],
+        },
+    }
+
+
+class Renderer:
+    """Caches jitted encode/render executables keyed by static shapes."""
+
+    def __init__(self, cfg: DotDict, setbg_opaque: bool = False):
+        self.cfg = cfg
+        self.nerf_setbg_opaque = setbg_opaque
+        self._encode_jit = None
+        self._render_jit = {}
+
+    # ------------------------------ encode ---------------------------------
+
+    def encode(self, params, ref_images: jnp.ndarray) -> List[jnp.ndarray]:
+        """ref_images: [B,V,H,W,3]."""
+        if self._encode_jit is None:
+            cfg = self.cfg
+
+            @jax.jit
+            def _enc(p, imgs):
+                return encode(p, cfg, imgs)
+
+            self._encode_jit = _enc
+        return self._encode_jit(params, ref_images)
+
+    # ------------------------------ render ---------------------------------
+
+    def _get_render_fn(self, img_h: int, img_w: int, setbg: bool, stratified: bool):
+        key = (img_h, img_w, setbg, stratified)
+        if key not in self._render_jit:
+            cfg = self.cfg
+
+            @jax.jit
+            def _render(params, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
+                        ref_w2c, ref_intr, ref_nf, ref_images, pair_feats, rng):
+                return render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
+                                   ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
+                                   img_h=img_h, img_w=img_w, rng=rng,
+                                   stratified=stratified, setbg_opaque=setbg)
+
+            self._render_jit[key] = _render
+        return self._render_jit[key]
+
+    def prepare_target(self, tgt_extr: np.ndarray):
+        """Host-side c2w with the legacy f64 inverse when configured."""
+        if self.cfg.nerf.legacy_coord:
+            return camera.pose_inverse_legacy_np(tgt_extr)
+        return np.asarray(camera.pose_inverse(jnp.asarray(tgt_extr)))
+
+    def render_given_rays(self, params, poses, ref_images, pair_feats,
+                          pix_xy: np.ndarray, img_h: int, img_w: int,
+                          rng=None, stratified: bool = False,
+                          tgt_override: Optional[Dict] = None) -> Dict:
+        """Render the given pixel coords [B,R,2] -> dict of [B,R,*] arrays."""
+        tgt = tgt_override or poses["tgt"]
+        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
+        fn = self._get_render_fn(img_h, img_w, self.nerf_setbg_opaque, stratified)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return fn(params, jnp.asarray(pix_xy), jnp.asarray(tgt["intrinsics"]),
+                  jnp.asarray(c2w), jnp.asarray(tgt["near_fars"]),
+                  jnp.asarray(poses["ref"]["extrinsics"]),
+                  jnp.asarray(poses["ref"]["intrinsics"]),
+                  jnp.asarray(poses["ref"]["near_fars"]),
+                  ref_images, pair_feats, rng)
+
+    def render_by_slices(self, params, poses, ref_images, pair_feats,
+                         img_h: int, img_w: int,
+                         tgt_override: Optional[Dict] = None) -> Dict:
+        """Full-image rendering in fixed-size ray slices with tail padding
+        (TPU-shaped analog of models/matchnerf.py:145-161)."""
+        B = ref_images.shape[0]
+        R = int(self.cfg.nerf.rand_rays_test) // max(B, 1)
+        n_pix = img_h * img_w
+        grid = np.asarray(camera.pixel_grid(img_h, img_w,
+                                            legacy=self.cfg.nerf.legacy_coord))
+        outs: Dict[str, list] = {}
+        for c in range(0, n_pix, R):
+            idx = np.arange(c, min(c + R, n_pix))
+            pad = R - len(idx)
+            if pad:
+                idx = np.concatenate([idx, np.full(pad, n_pix - 1)])
+            pix = np.broadcast_to(grid[idx][None], (B, R, 2))
+            ret = self.render_given_rays(params, poses, ref_images, pair_feats,
+                                         pix, img_h, img_w,
+                                         tgt_override=tgt_override)
+            for k, v in ret.items():
+                v = np.asarray(v)
+                if pad:
+                    v = v[:, :R - pad]
+                outs.setdefault(k, []).append(v)
+        return {k: np.concatenate(v, axis=1) for k, v in outs.items()}
+
+    # ------------------------------ video ----------------------------------
+
+    def get_video_rendering_path(self, poses, mode: str, n_frames: int,
+                                 batch: Optional[Dict] = None) -> List[Dict]:
+        """Per-frame target-pose dicts along an interpolated or spiral
+        trajectory (models/matchnerf.py:295-325). Host-side."""
+        src_extr = np.asarray(poses["ref"]["extrinsics"])         # [B,V,3,4]
+        B = src_extr.shape[0]
+        per_batch_w2cs = []
+        for b in range(B):
+            if mode == "interpolate":
+                c2ws = camera.pose_inverse_legacy_np(src_extr[b])  # f64 inverse, f32 out
+                sq = np.repeat(np.eye(4, dtype=np.float32)[None], len(c2ws), 0)
+                sq[:, :3, :] = c2ws
+                path = camera.get_interpolate_render_path(sq, n_frames)
+            elif mode == "spiral":
+                assert batch is not None and "c2ws_all" in batch, \
+                    "Must provide all c2ws for spiral rendering path."
+                c2ws_all = np.asarray(batch["c2ws_all"][b])
+                near_far = np.asarray(poses["tgt"]["near_fars"][b]).tolist()
+                rads_scale = float(getattr(self.cfg.nerf, "video_rads_scale", 0.1))
+                path = camera.get_spiral_render_path(c2ws_all, near_far,
+                                                     rads_scale=rads_scale,
+                                                     n_frames=n_frames)
+            else:
+                raise ValueError(f"Unknown video rendering path mode {mode}")
+            w2cs = np.linalg.inv(path)[:, :3].astype(np.float32)   # [n,3,4]
+            per_batch_w2cs.append(w2cs)
+        w2cs_all = np.stack(per_batch_w2cs)                        # [B,n,3,4]
+
+        frames = []
+        for f in range(n_frames):
+            frames.append({
+                "extrinsics": w2cs_all[:, f],
+                "intrinsics": np.asarray(poses["tgt"]["intrinsics"]),
+                "near_fars": np.asarray(poses["tgt"]["near_fars"]),
+            })
+        return frames
+
+    # ---------------------------- full forward -----------------------------
+
+    def forward(self, params, batch: Dict, mode: str = "test",
+                ray_idx: Optional[np.ndarray] = None, rng=None,
+                render_video: bool = False,
+                render_path_mode: str = "interpolate") -> Dict:
+        """Counterpart of MatchNeRF.forward (models/matchnerf.py:32-73):
+        encode once, then render sampled rays (train) / full image in slices
+        (eval) / a trajectory of frames (video)."""
+        cfg = self.cfg
+        V = cfg.n_src_views
+        images = np.asarray(batch["images"])                       # [B,V+1,H,W,3]
+        B, _, H, W = images.shape[:4]
+        ref_images = jnp.asarray(images[:, :V])
+        pair_feats = self.encode(params, ref_images)
+        poses = extract_poses(batch)
+
+        if render_video:
+            n_frames = int(cfg.nerf.video_n_frames)
+            frame_poses = self.get_video_rendering_path(poses, render_path_mode,
+                                                        n_frames, batch)
+            outs: Dict[str, list] = {}
+            for fp in frame_poses:
+                ret = self.render_by_slices(params, poses, ref_images, pair_feats,
+                                            H, W, tgt_override=fp)
+                for k, v in ret.items():
+                    outs.setdefault(k, []).append(v)
+            return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+        if ray_idx is not None:                                    # train-style subset
+            grid = np.asarray(camera.pixel_grid(H, W, legacy=cfg.nerf.legacy_coord))
+            pix = np.broadcast_to(grid[ray_idx][None], (B, len(ray_idx), 2))
+            stratified = mode == "train" and bool(cfg.nerf.sample_stratified)
+            return self.render_given_rays(params, poses, ref_images, pair_feats,
+                                          pix, H, W, rng=rng, stratified=stratified)
+
+        return self.render_by_slices(params, poses, ref_images, pair_feats, H, W)

@@ -1,0 +1,131 @@
+"""Jitted training step: loss, optimizer, schedules, sharding.
+
+TPU-native counterpart of Coach.train_iteration + setup_optimizer
+(coach.py:87-125, 215-243): one `jax.jit`-compiled function performs
+encode -> render(1024 random rays) -> MSE -> grad -> per-group AdamW with
+OneCycle schedules and encoder-only global-norm clipping. Parameter groups
+(lr_enc / lr_dec, frozen when lr<=0) map to an optax.multi_transform over the
+{'feat_enc','nerf_dec'} subtrees.
+
+Data parallelism: the step function is written over batch-major arrays; the
+engine shards the batch/ray dims over a `('data',)` mesh with NamedSharding
+and jit inserts the gradient psum automatically (replicated params +
+sharded batch -> XLA all-reduce over ICI).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .models.matchnerf import encode, render_rays
+
+
+def make_schedule(optim_cfg, peak_lr: float, total_steps: int):
+    """OneCycleLR-equivalent schedule (configs/train.yaml:59-63; torch
+    defaults div_factor=25, final_div_factor=1e4)."""
+    sched = optim_cfg.get("sched") if hasattr(optim_cfg, "get") else None
+    if not sched:
+        return optax.constant_schedule(peak_lr)
+    if sched["type"] == "OneCycleLR":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=total_steps,
+            peak_value=peak_lr,
+            pct_start=float(sched.get("pct_start", 0.3)),
+            div_factor=float(sched.get("div_factor", 25.0)),
+            final_div_factor=float(sched.get("final_div_factor", 1e4)))
+    if sched["type"] == "ExponentialLR":
+        return optax.exponential_decay(peak_lr, transition_steps=1,
+                                       decay_rate=float(sched.get("gamma", 1.0)))
+    raise ValueError(f"Unknown scheduler {sched['type']}")
+
+
+def build_optimizer(cfg, total_steps: int):
+    """Two param groups (encoder/decoder) with separate LR schedules,
+    weight decay, and encoder grad clipping (coach.py:87-125)."""
+    optim_cfg = cfg.optim
+    wd = float(optim_cfg.algo.get("weight_decay", 0.0))
+    assert optim_cfg.algo.type in ("AdamW", "Adam"), optim_cfg.algo.type
+
+    lr_enc = float(optim_cfg.lr_enc)
+    lr_dec = float(optim_cfg.lr_dec)
+    clip_enc = optim_cfg.get("clip_enc")
+
+    schedules = {}
+
+    def group(lr, clip):
+        if lr <= 0:
+            return optax.set_to_zero(), None
+        sched = make_schedule(optim_cfg, lr, total_steps)
+        chain = []
+        if clip is not None:
+            chain.append(optax.clip_by_global_norm(float(clip)))
+        if optim_cfg.algo.type == "AdamW":
+            chain.append(optax.adamw(sched, weight_decay=wd))
+        else:
+            chain.append(optax.adam(sched))
+        return optax.chain(*chain), sched
+
+    tx_enc, schedules["enc"] = group(lr_enc, clip_enc)
+    tx_dec, schedules["dec"] = group(lr_dec, None)
+
+    def label_fn(params):
+        return {"feat_enc": jax.tree_util.tree_map(lambda _: "enc", params["feat_enc"]),
+                "nerf_dec": jax.tree_util.tree_map(lambda _: "dec", params["nerf_dec"])}
+
+    tx = optax.multi_transform({"enc": tx_enc, "dec": tx_dec}, label_fn)
+    return tx, schedules
+
+
+def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
+    """Build the jitted train step for a fixed (H, W, rays) shape."""
+    render_w = cfg.loss_weight.get("render", 1.0) or 0.0
+    stratified = bool(cfg.nerf.sample_stratified)
+
+    def loss_fn(params, batch, rng):
+        ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
+        pair_feats = encode(params, cfg, ref_images)
+
+        rng_rays, rng_depth = jax.random.split(rng)
+        B = ref_images.shape[0]
+        # same random subset for all batch elements (matchnerf.py:53)
+        ray_idx = jax.random.permutation(rng_rays, img_h * img_w)[: n_rays]
+        off = 0.0 if cfg.nerf.legacy_coord else 0.5
+        pix_x = (ray_idx % img_w).astype(jnp.float32) + off
+        pix_y = (ray_idx // img_w).astype(jnp.float32) + off
+        pix = jnp.broadcast_to(jnp.stack([pix_x, pix_y], -1)[None], (B, n_rays, 2))
+
+        out = render_rays(
+            params, cfg, pix,
+            tgt_intr=batch["intrinsics"][:, -1],
+            tgt_c2w=batch["tgt_c2w"],
+            tgt_near_far=batch["near_fars"][:, -1],
+            ref_w2c=batch["extrinsics"][:, :-1, :3, :],
+            ref_intr=batch["intrinsics"][:, :-1],
+            ref_near_far=batch["near_fars"][:, :-1],
+            ref_images=ref_images,
+            pair_feats=pair_feats,
+            img_h=img_h, img_w=img_w, rng=rng_depth, stratified=stratified)
+
+        tgt = batch["images"][:, -1].reshape(B, img_h * img_w, 3)
+        tgt = jnp.take_along_axis(tgt, jnp.broadcast_to(
+            ray_idx[None, :, None], (B, n_rays, 3)), axis=1)
+        mse = jnp.mean((out["rgb"] - tgt) ** 2)
+        loss_all = render_w * mse
+        return loss_all, {"render": mse}
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        (loss_all, loss_parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        loss_parts = dict(loss_parts)
+        loss_parts["all"] = loss_all
+        return params, opt_state, loss_parts
+
+    return train_step

@@ -1,0 +1,28 @@
+"""Training CLI (counterpart of the reference train.py).
+
+Usage: python train.py --yaml=train [--name=... --a.b.c=value ...]
+"""
+import sys
+
+
+def main():
+    from matchnerf_tpu import config as options
+    from matchnerf_tpu.engine import Coach
+    from matchnerf_tpu.utils import log
+
+    log.title(f"[{__file__}] (MatchNeRF-TPU training)")
+    opt_cmd = options.parse_arguments(sys.argv[1:])
+    opt = options.set_options(opt_cmd)
+    options.save_options_file(opt)
+
+    coach = Coach(opt)
+    coach.load_dataset(["train", "val", "test"])
+    coach.build_networks()
+    coach.setup_optimizer()
+    coach.restore_checkpoint_if_needed()
+    coach.setup_visualizer()
+    coach.train_model()
+
+
+if __name__ == "__main__":
+    main()
