@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import camera
-from ..ops.grid_sample import grid_sample_2d, in_frustum_mask, sample_features_by_grid
+from ..ops.grid_sample import (grid_sample_2d, grid_sample_2d_packed,
+                               in_frustum_mask, pack_2x2, sample_features_by_grid)
 from .decoder.cond_nerf import apply_cond_nerf, composite, init_cond_nerf
 from .gmflow.gmflow import gmflow_extract_pair_features, init_gmflow, pair_index_lists
 
@@ -73,6 +74,25 @@ def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
     return depth
 
 
+def prepare_sampling_tables(cfg, pair_feats, ref_images):
+    """Pack feature maps and source images into 2x2-tap sampling tables.
+
+    Done once per image set (amortized over all render slices/frames); the
+    render hot loop then needs a single gather per (point, pair-side, scale)
+    instead of four (`ops.grid_sample.pack_2x2`). Numerically identical to
+    the 4-tap path.
+    """
+    packed_feats = []
+    for feats in pair_feats:
+        B, P, _, h, w, C = feats.shape
+        flat = feats.reshape(B * P * 2, h, w, C)
+        packed_feats.append(pack_2x2(flat).reshape(B, P, 2, h, w, 4 * C))
+    B, V, H, W, _ = ref_images.shape
+    packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
+        .reshape(B, V, H, W, 12)
+    return {"feats": packed_feats, "colors": packed_colors}
+
+
 def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
     """Split channels into groups and cosine-compare (matchnerf.py:262-268).
 
@@ -88,7 +108,8 @@ def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
 
 
 def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
-                    pair_feats: List[jnp.ndarray], img_h: int, img_w: int):
+                    pair_feats: List[jnp.ndarray], img_h: int, img_w: int,
+                    tables: Optional[dict] = None):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -108,8 +129,12 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     grids = ndc_all[..., :2] * 2.0 - 1.0                          # [V,B,R,S,2]
 
     # colors + masks per view (matchnerf.py:244-250)
-    colors = jax.vmap(lambda img, g: grid_sample_2d(img, g), in_axes=(1, 0))(
-        ref_images, grids)                                         # [V,B,R,S,3]
+    if tables is not None:
+        colors = jax.vmap(lambda img, g: grid_sample_2d_packed(img, g),
+                          in_axes=(1, 0))(tables["colors"], grids)  # [V,B,R,S,3]
+    else:
+        colors = jax.vmap(lambda img, g: grid_sample_2d(img, g), in_axes=(1, 0))(
+            ref_images, grids)                                     # [V,B,R,S,3]
     masks = in_frustum_mask(grids)                                 # [V,B,R,S]
     color_info = jnp.moveaxis(colors, 0, -2).reshape(B, *pts_3d.shape[1:3], V * 3)
     mask_info = jnp.moveaxis(masks, 0, -1)                         # [B,R,S,V]
@@ -118,15 +143,21 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     pairs = pair_index_lists(V)
     local_r = cfg.encoder.feature_sample_local_radius
     local_d = cfg.encoder.feature_sample_local_dilation
+    use_packed = tables is not None and local_r <= 0
     feat_chunks = []
-    for scale_idx, feats in enumerate(pair_feats):
+    src_feats = tables["feats"] if use_packed else pair_feats
+    for scale_idx, feats in enumerate(src_feats):
         G = cos_n_group[scale_idx]
         per_pair = []
         for p_idx, (i_idx, j_idx) in enumerate(pairs):
-            fa = sample_features_by_grid(feats[:, p_idx, 0], grids[i_idx],
-                                         local_radius=local_r, local_dilation=local_d)
-            fb = sample_features_by_grid(feats[:, p_idx, 1], grids[j_idx],
-                                         local_radius=local_r, local_dilation=local_d)
+            if use_packed:
+                fa = grid_sample_2d_packed(feats[:, p_idx, 0], grids[i_idx])
+                fb = grid_sample_2d_packed(feats[:, p_idx, 1], grids[j_idx])
+            else:
+                fa = sample_features_by_grid(feats[:, p_idx, 0], grids[i_idx],
+                                             local_radius=local_r, local_dilation=local_d)
+                fb = sample_features_by_grid(feats[:, p_idx, 1], grids[j_idx],
+                                             local_radius=local_r, local_dilation=local_d)
             per_pair.append(_grouped_cosine(fa, fb, G))
         feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))  # [B,R,S,G]
     feat_info = jnp.concatenate(feat_chunks, axis=-1)
@@ -138,7 +169,8 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
 def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
                 img_h: int, img_w: int, rng: Optional[jax.Array] = None,
-                stratified: bool = False, setbg_opaque: bool = False):
+                stratified: bool = False, setbg_opaque: bool = False,
+                tables: Optional[dict] = None):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -153,7 +185,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
 
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
-        img_h, img_w)
+        img_h, img_w, tables=tables)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

@@ -77,6 +77,53 @@ def grid_sample_2d(feat, grid, align_corners: bool = True, padding_mode: str = "
     return out.reshape(out_shape)
 
 
+def pack_2x2(feat):
+    """Pack each pixel's 2x2 forward neighborhood into channels.
+
+    feat [B,H,W,C] -> [B,H,W,4C] where the channel blocks are the bilinear
+    taps (y0x0, y0x1, y1x0, y1x1) with edge replication — so a single row
+    gather at (y0, x0) yields all four taps of border-clamped bilinear
+    interpolation. TPU-native trade: 4x HBM for ~4x fewer gather indices in
+    the render hot loop (gathers are per-index bound on TPU).
+    """
+    right = jnp.concatenate([feat[:, :, 1:], feat[:, :, -1:]], axis=2)
+    down = jnp.concatenate([feat[:, 1:], feat[:, -1:]], axis=1)
+    down_right = jnp.concatenate([down[:, :, 1:], down[:, :, -1:]], axis=2)
+    return jnp.concatenate([feat, right, down, down_right], axis=-1)
+
+
+def grid_sample_2d_packed(packed, grid, align_corners: bool = True):
+    """Bilinear sample from a `pack_2x2` table with ONE gather per point.
+
+    packed: [B,H,W,4C]; grid: [B,...,2] (x,y in [-1,1]); border padding only
+    (the semantics the MatchNeRF query uses). Returns [B,...,C].
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
+    out_shape = grid.shape[:-1] + (C,)
+    g = grid.reshape(B, -1, 2)
+    N = g.shape[1]
+
+    x = jnp.clip(_unnormalize(g[..., 0], W, align_corners), 0.0, W - 1.0)
+    y = jnp.clip(_unnormalize(g[..., 1], H, align_corners), 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32))
+
+    flat = packed.reshape(B, H * W, C4)
+    rows = jnp.take_along_axis(flat, idx[..., None], axis=1,
+                               mode="promise_in_bounds")          # [B,N,4C]
+    t00 = rows[..., 0 * C:1 * C]
+    t01 = rows[..., 1 * C:2 * C]
+    t10 = rows[..., 2 * C:3 * C]
+    t11 = rows[..., 3 * C:4 * C]
+    out = ((t00 * (1 - wx) + t01 * wx) * (1 - wy)
+           + (t10 * (1 - wx) + t11 * wx) * wy)
+    return out.reshape(out_shape)
+
+
 def in_frustum_mask(grid):
     """Visibility mask: 1.0 where grid strictly inside (-1, 1) on both axes
     (models/matchnerf.py:248-250)."""

@@ -22,6 +22,8 @@ def main():
     parser.add_argument("--iters", type=int, default=8)
     parser.add_argument("--stages", type=str, default="render,cond,dec,enc")
     parser.add_argument("--feat_dtype", type=str, default="float32")
+    parser.add_argument("--packed", action="store_true",
+                        help="use 2x2-packed sampling tables")
     args = parser.parse_args()
 
     import jax
@@ -50,20 +52,26 @@ def main():
     feat_dtype = jnp.dtype(args.feat_dtype)
     enc_fn = jax.jit(lambda p, x: encode(p, cfg, x))
     feats = [f.astype(feat_dtype) for f in enc_fn(params, ref)]
+    tables = None
+    if args.packed:
+        from matchnerf_tpu.models.matchnerf import prepare_sampling_tables
+        tables = jax.jit(lambda fs, im: prepare_sampling_tables(cfg, fs, im))(feats, ref)
 
     def scan_time(name, body):
+        # feats/tables passed as explicit operands so they don't get baked
+        # into the HLO as giant literals (the remote-compile payload limit)
         @jax.jit
-        def run(pix0):
+        def run(pix0, params, feats, tables):
             def step(carry, _):
-                out = body(carry)
+                out = body(carry, params, feats, tables)
                 carry = pix + 1e-30 * out[0, :2].reshape(1, 1, 2)
                 return carry, ()
             carry, _ = jax.lax.scan(step, pix0, None, length=K)
             return carry
-        out = run(pix)                      # compile
+        out = run(pix, params, feats, tables)   # compile
         np.asarray(out).sum()
         t0 = time.time()
-        out = run(pix)
+        out = run(pix, params, feats, tables)
         np.asarray(out).sum()
         dt = (time.time() - t0) / K
         print(f"{name:12s} {dt*1000:8.1f} ms/iter   {R/dt:10.0f} rays/s", flush=True)
@@ -71,11 +79,12 @@ def main():
 
     stages = args.stages.split(",")
 
-    def full_render(pix_xy):
+    def full_render(pix_xy, params, feats, tables):
         out = render_rays(params, cfg, pix_xy, tgt_intr=intr[:, -1], tgt_c2w=tgt_c2w,
                           tgt_near_far=nf[:, -1], ref_w2c=poses[:, :-1, :3, :],
                           ref_intr=intr[:, :-1], ref_near_far=nf[:, :-1],
-                          ref_images=ref, pair_feats=feats, img_h=H, img_w=W)
+                          ref_images=ref, pair_feats=feats, img_h=H, img_w=W,
+                          tables=tables)
         return out["rgb"].reshape(-1, 3)[:4]
 
     def pts_of(pix_xy):
@@ -83,10 +92,10 @@ def main():
         depth = sample_depth(cfg, nf[:, -1], B, R)
         return camera.get_3d_points_from_depth(center, ray, depth, True), ray, depth
 
-    def cond_stage(pix_xy):
+    def cond_stage(pix_xy, params, feats, tables):
         pts, _, _ = pts_of(pix_xy)
         cond, ndc0 = query_cond_info(cfg, pts, poses[:, :-1, :3, :], intr[:, :-1],
-                                     nf[:, :-1], ref, feats, H, W)
+                                     nf[:, :-1], ref, feats, H, W, tables=tables)
         return (cond["feat_info"].sum() + cond["color_info"].sum()
                 + ndc0.sum()).reshape(1, 1) * jnp.ones((4, 3))
 
@@ -96,7 +105,7 @@ def main():
         cfg, pts_of(p)[0], poses[:, :-1, :3, :], intr[:, :-1], nf[:, :-1],
         ref, feats, H, W))(pix)
 
-    def dec_stage(pix_xy):
+    def dec_stage(pix_xy, params, feats, tables):
         scale = 1.0 + 1e-30 * pix_xy[0, 0, 0]
         ru = ray0 / jnp.linalg.norm(ray0, axis=-1, keepdims=True)
         ru = jnp.broadcast_to(
@@ -107,7 +116,7 @@ def main():
         out = composite(cfg, ray0, rgb, dens, depth0)[0]
         return out.reshape(-1, 3)[:4]
 
-    def enc_stage(pix_xy):
+    def enc_stage(pix_xy, params, feats, tables):
         scale = 1.0 + 1e-30 * pix_xy[0, 0, 0]
         fs = encode(params, cfg, ref * scale)
         return fs[0].reshape(-1)[:12].reshape(4, 3)
