@@ -77,20 +77,37 @@ def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
 def prepare_sampling_tables(cfg, pair_feats, ref_images):
     """Pack feature maps and source images into 2x2-tap sampling tables.
 
-    Done once per image set (amortized over all render slices/frames); the
-    render hot loop then needs a single gather per (point, pair-side, scale)
-    instead of four (`ops.grid_sample.pack_2x2`). Numerically identical to
-    the 4-tap path.
+    Done once per image set (amortized over all render slices/frames). Two
+    structural rewrites of the query, both numerically identical to the
+    reference's per-tap sampling:
+
+    - `pack_2x2`: each pixel's four bilinear taps live in one row, so the hot
+      loop does ONE gather per point instead of four (TPU gathers are
+      per-index bound)
+    - view-major channel concat: all pair-side features a view contributes
+      (chunk order = pair order, matching matchnerf.py:198-203) merge into a
+      single table per (view, scale), collapsing 12 feature gathers into 6
+
+    Returns {'view_feats': [per scale: [B,V,h,w,4*(V-1)*C]],
+             'colors': [B,V,H,W,12], 'chunk_of': (V-1)*C}.
     """
-    packed_feats = []
+    n_views = cfg.n_src_views
+    pairs = pair_index_lists(n_views)
+    view_feats = []
     for feats in pair_feats:
         B, P, _, h, w, C = feats.shape
-        flat = feats.reshape(B * P * 2, h, w, C)
-        packed_feats.append(pack_2x2(flat).reshape(B, P, 2, h, w, 4 * C))
+        per_view = []
+        for v in range(n_views):
+            chunks = [feats[:, p_idx, 0 if v == a else 1]
+                      for p_idx, (a, b) in enumerate(pairs) if v in (a, b)]
+            per_view.append(jnp.concatenate(chunks, axis=-1))     # [B,h,w,(V-1)C]
+        stacked = jnp.stack(per_view, axis=1)                      # [B,V,h,w,(V-1)C]
+        packed = pack_2x2(stacked.reshape(B * n_views, h, w, -1))
+        view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
     packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
         .reshape(B, V, H, W, 12)
-    return {"feats": packed_feats, "colors": packed_colors}
+    return {"view_feats": view_feats, "colors": packed_colors}
 
 
 def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
@@ -145,21 +162,34 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     local_d = cfg.encoder.feature_sample_local_dilation
     use_packed = tables is not None and local_r <= 0
     feat_chunks = []
-    src_feats = tables["feats"] if use_packed else pair_feats
-    for scale_idx, feats in enumerate(src_feats):
-        G = cos_n_group[scale_idx]
-        per_pair = []
-        for p_idx, (i_idx, j_idx) in enumerate(pairs):
-            if use_packed:
-                fa = grid_sample_2d_packed(feats[:, p_idx, 0], grids[i_idx])
-                fb = grid_sample_2d_packed(feats[:, p_idx, 1], grids[j_idx])
-            else:
+    if use_packed:
+        # one gather per (view, scale); then pair (i,j) compares view i's
+        # chunk (j-1) against view j's chunk i — the reference's split/index
+        # scheme (matchnerf.py:259-268)
+        for scale_idx, vfeats in enumerate(tables["view_feats"]):
+            G = cos_n_group[scale_idx]
+            C_chunk = vfeats.shape[-1] // (4 * (V - 1))
+            sampled = [grid_sample_2d_packed(vfeats[:, v], grids[v])
+                       for v in range(V)]                          # [B,R,S,(V-1)C]
+            per_pair = []
+            for (i_idx, j_idx) in pairs:
+                ca = j_idx - 1
+                cb = i_idx
+                fa = sampled[i_idx][..., ca * C_chunk:(ca + 1) * C_chunk]
+                fb = sampled[j_idx][..., cb * C_chunk:(cb + 1) * C_chunk]
+                per_pair.append(_grouped_cosine(fa, fb, G))
+            feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))
+    else:
+        for scale_idx, feats in enumerate(pair_feats):
+            G = cos_n_group[scale_idx]
+            per_pair = []
+            for p_idx, (i_idx, j_idx) in enumerate(pairs):
                 fa = sample_features_by_grid(feats[:, p_idx, 0], grids[i_idx],
                                              local_radius=local_r, local_dilation=local_d)
                 fb = sample_features_by_grid(feats[:, p_idx, 1], grids[j_idx],
                                              local_radius=local_r, local_dilation=local_d)
-            per_pair.append(_grouped_cosine(fa, fb, G))
-        feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))  # [B,R,S,G]
+                per_pair.append(_grouped_cosine(fa, fb, G))
+            feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))  # [B,R,S,G]
     feat_info = jnp.concatenate(feat_chunks, axis=-1)
 
     cond = {"feat_info": feat_info, "color_info": color_info, "mask_info": mask_info}

@@ -20,8 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import camera
-from .models.matchnerf import encode, render_rays, sample_depth  # noqa: F401
+from .models.matchnerf import (encode, prepare_sampling_tables,  # noqa: F401
+                               render_rays, sample_depth)
 from .utils import DotDict, log
+
+
+def cond_sample_dtype(cfg):
+    """dtype for the packed sampling tables: bf16 halves gather traffic with
+    ~1e-3 relative sampling error; f32 for strict parity runs."""
+    prec = cfg.get("precision") or {}
+    name = prec.get("cond_sample_dtype", "bfloat16") if hasattr(prec, "get") else "bfloat16"
+    return jnp.bfloat16 if str(name) in ("bf16", "bfloat16") else jnp.float32
 
 
 def extract_poses(batch: Dict) -> Dict:
@@ -64,6 +73,20 @@ class Renderer:
             self._encode_jit = _enc
         return self._encode_jit(params, ref_images)
 
+    def build_tables(self, ref_images: jnp.ndarray, pair_feats):
+        """Packed 2x2 sampling tables, built once per image set."""
+        if not hasattr(self, "_tables_jit") or self._tables_jit is None:
+            cfg = self.cfg
+            dt = cond_sample_dtype(cfg)
+
+            @jax.jit
+            def _prep(imgs, feats):
+                feats = [f.astype(dt) for f in feats]
+                return prepare_sampling_tables(cfg, feats, imgs)
+
+            self._tables_jit = _prep
+        return self._tables_jit(ref_images, pair_feats)
+
     # ------------------------------ render ---------------------------------
 
     def _get_render_fn(self, img_h: int, img_w: int, setbg: bool, stratified: bool):
@@ -73,11 +96,13 @@ class Renderer:
 
             @jax.jit
             def _render(params, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
-                        ref_w2c, ref_intr, ref_nf, ref_images, pair_feats, rng):
+                        ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
+                        tables, rng):
                 return render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
                                    ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
                                    img_h=img_h, img_w=img_w, rng=rng,
-                                   stratified=stratified, setbg_opaque=setbg)
+                                   stratified=stratified, setbg_opaque=setbg,
+                                   tables=tables)
 
             self._render_jit[key] = _render
         return self._render_jit[key]
@@ -91,7 +116,8 @@ class Renderer:
     def render_given_rays(self, params, poses, ref_images, pair_feats,
                           pix_xy: np.ndarray, img_h: int, img_w: int,
                           rng=None, stratified: bool = False,
-                          tgt_override: Optional[Dict] = None) -> Dict:
+                          tgt_override: Optional[Dict] = None,
+                          tables: Optional[Dict] = None) -> Dict:
         """Render the given pixel coords [B,R,2] -> dict of [B,R,*] arrays."""
         tgt = tgt_override or poses["tgt"]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
@@ -103,11 +129,12 @@ class Renderer:
                   jnp.asarray(poses["ref"]["extrinsics"]),
                   jnp.asarray(poses["ref"]["intrinsics"]),
                   jnp.asarray(poses["ref"]["near_fars"]),
-                  ref_images, pair_feats, rng)
+                  ref_images, pair_feats, tables, rng)
 
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
-                         tgt_override: Optional[Dict] = None) -> Dict:
+                         tgt_override: Optional[Dict] = None,
+                         tables: Optional[Dict] = None) -> Dict:
         """Full-image rendering in fixed-size ray slices with tail padding
         (TPU-shaped analog of models/matchnerf.py:145-161)."""
         B = ref_images.shape[0]
@@ -124,7 +151,7 @@ class Renderer:
             pix = np.broadcast_to(grid[idx][None], (B, R, 2))
             ret = self.render_given_rays(params, poses, ref_images, pair_feats,
                                          pix, img_h, img_w,
-                                         tgt_override=tgt_override)
+                                         tgt_override=tgt_override, tables=tables)
             for k, v in ret.items():
                 v = np.asarray(v)
                 if pad:
@@ -186,6 +213,10 @@ class Renderer:
         B, _, H, W = images.shape[:4]
         ref_images = jnp.asarray(images[:, :V])
         pair_feats = self.encode(params, ref_images)
+        # packed sampling tables unless the local-neighborhood sampler is on
+        tables = None
+        if int(cfg.encoder.feature_sample_local_radius) <= 0:
+            tables = self.build_tables(ref_images, pair_feats)
         poses = extract_poses(batch)
 
         if render_video:
@@ -195,7 +226,7 @@ class Renderer:
             outs: Dict[str, list] = {}
             for fp in frame_poses:
                 ret = self.render_by_slices(params, poses, ref_images, pair_feats,
-                                            H, W, tgt_override=fp)
+                                            H, W, tgt_override=fp, tables=tables)
                 for k, v in ret.items():
                     outs.setdefault(k, []).append(v)
             return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
@@ -205,6 +236,8 @@ class Renderer:
             pix = np.broadcast_to(grid[ray_idx][None], (B, len(ray_idx), 2))
             stratified = mode == "train" and bool(cfg.nerf.sample_stratified)
             return self.render_given_rays(params, poses, ref_images, pair_feats,
-                                          pix, H, W, rng=rng, stratified=stratified)
+                                          pix, H, W, rng=rng, stratified=stratified,
+                                          tables=tables)
 
-        return self.render_by_slices(params, poses, ref_images, pair_feats, H, W)
+        return self.render_by_slices(params, poses, ref_images, pair_feats, H, W,
+                                     tables=tables)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .models.matchnerf import encode, render_rays
+from .models.matchnerf import encode, prepare_sampling_tables, render_rays
 
 
 def make_schedule(optim_cfg, peak_lr: float, total_steps: int):
@@ -89,6 +89,11 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
     def loss_fn(params, batch, rng):
         ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
         pair_feats = encode(params, cfg, ref_images)
+        # packed tables are pure reshuffles — differentiable; keep f32 in
+        # training so encoder grads aren't bf16-rounded
+        tables = None
+        if int(cfg.encoder.feature_sample_local_radius) <= 0:
+            tables = prepare_sampling_tables(cfg, pair_feats, ref_images)
 
         rng_rays, rng_depth = jax.random.split(rng)
         B = ref_images.shape[0]
@@ -108,7 +113,7 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
             ref_intr=batch["intrinsics"][:, :-1],
             ref_near_far=batch["near_fars"][:, :-1],
             ref_images=ref_images,
-            pair_feats=pair_feats,
+            pair_feats=pair_feats, tables=tables,
             img_h=img_h, img_w=img_w, rng=rng_depth, stratified=stratified)
 
         tgt = batch["images"][:, -1].reshape(B, img_h * img_w, 3)
