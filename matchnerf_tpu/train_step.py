@@ -32,10 +32,14 @@ def make_schedule(optim_cfg, peak_lr: float, total_steps: int):
     if not sched:
         return optax.constant_schedule(peak_lr)
     if sched["type"] == "OneCycleLR":
+        pct_start = float(sched.get("pct_start", 0.3))
+        # optax's onecycle divides by the warmup interval length; guarantee it
+        # spans at least one step (only matters for tiny smoke-test runs)
+        pct_start = max(pct_start, 1.0 / max(total_steps, 2))
         return optax.cosine_onecycle_schedule(
             transition_steps=total_steps,
             peak_value=peak_lr,
-            pct_start=float(sched.get("pct_start", 0.3)),
+            pct_start=pct_start,
             div_factor=float(sched.get("div_factor", 25.0)),
             final_div_factor=float(sched.get("final_div_factor", 1e4)))
     if sched["type"] == "ExponentialLR":

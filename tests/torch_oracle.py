@@ -78,6 +78,21 @@ def install_reference():
 
     _stub("skimage")
     _stub("skimage.metrics", structural_similarity=None)
+    # reference predates torch's weights_only default flip; restore old behavior
+    import functools
+
+    import torch as _torch
+    if not getattr(_torch.load, "_oracle_patched", False):
+        _orig_load = _torch.load
+
+        @functools.wraps(_orig_load)
+        def _load(*a, **kw):
+            kw.setdefault("weights_only", False)
+            return _orig_load(*a, **kw)
+
+        _load._oracle_patched = True
+        _torch.load = _load
+
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
