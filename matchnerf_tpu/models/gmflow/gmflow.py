@@ -67,11 +67,20 @@ def _feature_add_position(feat, attn_splits: int, feature_channels: int):
     return feat + pos[None]
 
 
+def resolve_attention_backend(backend: str = "auto") -> str:
+    """'auto' -> fused Pallas flash attention on TPU, plain XLA elsewhere."""
+    if backend != "auto":
+        return backend
+    import jax
+    return "pallas" if jax.default_backend() not in ("cpu", "gpu") else "xla"
+
+
 def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
                                  keep_raw_feats: bool = True, wo_self_attn: bool = False,
                                  wo_cross_attn: bool = False, layers_caps=None,
                                  feature_channels: int = 128, num_scales: int = 1,
-                                 feature_upsampler: str = "network"):
+                                 feature_upsampler: str = "network",
+                                 attention_backend: str = "auto"):
     """Encode source views into matched pair features.
 
     images: [B, V, H, W, 3] in [0,1]. Returns a list over scales of
@@ -121,7 +130,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
         feat0, feat1 = apply_feature_transformer(
             params["transformer"], feat0, feat1, attn_num_splits=attn_splits,
             layers_cap=layers_caps[att_idx], wo_cross_attn=wo_cross_attn,
-            wo_self_attn=wo_self_attn)
+            wo_self_attn=wo_self_attn,
+            backend=resolve_attention_backend(attention_backend))
 
         if keep_raw_feats:
             out_scales.append(jnp.stack([feat0, feat1], axis=1)

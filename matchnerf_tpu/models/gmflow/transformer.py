@@ -41,7 +41,7 @@ def _init_attn_layer(key, d_model, ffn_dim_expansion=4, no_ffn=False):
 
 
 def _apply_attn_layer(p, source, target, h, w, attn_num_splits, with_shift,
-                      shifted_window_attn_mask):
+                      shifted_window_attn_mask, backend: str = "xla"):
     """source/target: [B, H*W, C]. Returns source + message (transformer.py:147-185)."""
     b, L, c = source.shape
     query = linear(p["q_proj"], source)
@@ -49,7 +49,12 @@ def _apply_attn_layer(p, source, target, h, w, attn_num_splits, with_shift,
     value = linear(p["v_proj"], target)
 
     if attn_num_splits > 1:
-        message = split_window_attention(
+        if backend == "pallas":
+            from ...ops.pallas_attention import flash_window_attention
+            attn_fn = flash_window_attention
+        else:
+            attn_fn = split_window_attention
+        message = attn_fn(
             query.reshape(b, h, w, c), key.reshape(b, h, w, c), value.reshape(b, h, w, c),
             num_splits=attn_num_splits, with_shift=with_shift,
             attn_mask=shifted_window_attn_mask)
@@ -82,7 +87,7 @@ def init_feature_transformer(key, num_layers=6, d_model=128, ffn_dim_expansion=4
 
 def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
                               layers_cap=None, wo_cross_attn=False, wo_self_attn=False,
-                              attention_type: str = "swin"):
+                              attention_type: str = "swin", backend: str = "xla"):
     """feature0/feature1: [B,H,W,C] paired views -> enhanced [B,H,W,C] each.
 
     Mirrors FeatureTransformer.forward (transformer.py:279-339): both views
@@ -106,10 +111,12 @@ def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
         with_shift = attention_type == "swin" and (i % 2 == 1)
         if not wo_self_attn:
             concat0 = _apply_attn_layer(layer["self_attn"], concat0, concat0, h, w,
-                                        attn_num_splits, with_shift, mask)
+                                        attn_num_splits, with_shift, mask,
+                                        backend=backend)
         if not wo_cross_attn:
             concat0 = _apply_attn_layer(layer["cross_attn_ffn"], concat0, concat1, h, w,
-                                        attn_num_splits, with_shift, mask)
+                                        attn_num_splits, with_shift, mask,
+                                        backend=backend)
         # refresh partner: swap the two halves of the updated stack
         half0, half1 = jnp.split(concat0, 2, axis=0)
         concat1 = jnp.concatenate([half1, half0], axis=0)

@@ -49,7 +49,8 @@ def encode(params, cfg, ref_images) -> List[jnp.ndarray]:
         params["feat_enc"], ref_images,
         attn_splits_list=list(cfg.encoder.attn_splits_list),
         n_views=cfg.n_src_views, keep_raw_feats=True,
-        wo_self_attn=cfg.encoder.wo_self_attn)
+        wo_self_attn=cfg.encoder.wo_self_attn,
+        attention_backend=str(cfg.encoder.get("attention_backend", "auto")))
 
 
 def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
