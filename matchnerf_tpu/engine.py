@@ -363,9 +363,8 @@ class Coach:
 
                     mask = np.asarray(batch["depth"][b]) == 0 if "depth" in batch else None
                     eval_tools.set_inputs(pred_rgb[b], gt_rgb, mask)
-                    report_full = bool(getattr(
-                        cfg.data_test.get(dataname, DotDict()), "get", lambda *_: False
-                    )("report_full_scores", False)) if dataname in cfg.get("data_test", {}) else False
+                    data_test_cfg = (cfg.get("data_test") or {}).get(dataname) or {}
+                    report_full = bool(data_test_cfg.get("report_full_scores", False))
                     cur_metrics = eval_tools.get_metrics(return_full=report_full)
                     pred_img_id = f"{batch['scene'][b]}_{batch['view_ids'][b][-1]:03d}"
                     metrics_dict[dataname][pred_img_id] = cur_metrics

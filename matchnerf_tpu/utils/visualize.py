@@ -47,9 +47,8 @@ def write_video(out_path: str, frames: List[np.ndarray], pts_rate: float = 2.0):
                 w.append_data(frame)
         return
     except Exception as e:
-        log.warn(f"ffmpeg video writer unavailable ({type(e).__name__}); "
-                 f"dumping frames next to {out_path}")
         base = os.path.splitext(out_path)[0]
+        log.warn(f"ffmpeg video writer unavailable ({type(e).__name__}); "
+                 f"writing {base}.gif instead")
         import imageio
-        for i, frame in enumerate(frames):
-            imageio.imwrite(f"{base}_frame{i:04d}.png", frame)
+        imageio.mimsave(f"{base}.gif", frames, fps=min(fps, 24), loop=0)
