@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from .. import camera
 from ..ops.grid_sample import (grid_sample_2d, grid_sample_2d_packed,
-                               in_frustum_mask, pack_2x2, sample_features_by_grid)
+                               in_frustum_mask, pack_2x2, packed_rows_and_weights,
+                               sample_features_by_grid)
 from .decoder.cond_nerf import apply_cond_nerf, composite, init_cond_nerf
 from .gmflow.gmflow import gmflow_extract_pair_features, init_gmflow, pair_index_lists
 
@@ -127,7 +128,7 @@ def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
 
 def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     pair_feats: List[jnp.ndarray], img_h: int, img_w: int,
-                    tables: Optional[dict] = None):
+                    tables: Optional[dict] = None, fused_cosine: bool = False):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -162,6 +163,7 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     local_r = cfg.encoder.feature_sample_local_radius
     local_d = cfg.encoder.feature_sample_local_dilation
     use_packed = tables is not None and local_r <= 0
+    fused = bool(fused_cosine) and use_packed and B == 1
     feat_chunks = []
     if use_packed:
         # one gather per (view, scale); then pair (i,j) compares view i's
@@ -170,6 +172,20 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
         for scale_idx, vfeats in enumerate(tables["view_feats"]):
             G = cos_n_group[scale_idx]
             C_chunk = vfeats.shape[-1] // (4 * (V - 1))
+            if fused:
+                # fused Pallas interp+cosine (eval path): consume raw gather
+                # rows, never materialize per-view interpolations
+                from ..ops.pallas_cond import fused_interp_grouped_cosine
+                rws = [packed_rows_and_weights(vfeats[:, v], grids[v])
+                       for v in range(V)]
+                rows = jnp.stack([r[0][0] for r in rws], axis=0)       # [V,N,4Cc]
+                wgt = jnp.stack([jnp.concatenate([r[1][0], r[2][0]], -1)
+                                 for r in rws], axis=0)                # [V,N,2]
+                cosv = fused_interp_grouped_cosine(
+                    rows, wgt, n_views=V, chunk_c=C_chunk, n_groups=G,
+                    pairs=pairs)
+                feat_chunks.append(cosv.reshape(1, *pts_3d.shape[1:3], G))
+                continue
             sampled = [grid_sample_2d_packed(vfeats[:, v], grids[v])
                        for v in range(V)]                          # [B,R,S,(V-1)C]
             per_pair = []
@@ -201,7 +217,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
                 img_h: int, img_w: int, rng: Optional[jax.Array] = None,
                 stratified: bool = False, setbg_opaque: bool = False,
-                tables: Optional[dict] = None):
+                tables: Optional[dict] = None, fused_cosine: bool = False):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -216,7 +232,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
 
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
-        img_h, img_w, tables=tables)
+        img_h, img_w, tables=tables, fused_cosine=fused_cosine)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

@@ -92,17 +92,13 @@ def pack_2x2(feat):
     return jnp.concatenate([feat, right, down, down_right], axis=-1)
 
 
-def grid_sample_2d_packed(packed, grid, align_corners: bool = True):
-    """Bilinear sample from a `pack_2x2` table with ONE gather per point.
+def packed_rows_and_weights(packed, grid, align_corners: bool = True):
+    """Gather the 2x2-packed rows + bilinear weights for each grid point.
 
-    packed: [B,H,W,4C]; grid: [B,...,2] (x,y in [-1,1]); border padding only
-    (the semantics the MatchNeRF query uses). Returns [B,...,C].
-    """
+    packed: [B,H,W,4C]; grid: [B,...,2]. Returns (rows [B,N,4C],
+    wx [B,N,1], wy [B,N,1]) with N = prod(grid.shape[1:-1])."""
     B, H, W, C4 = packed.shape
-    C = C4 // 4
-    out_shape = grid.shape[:-1] + (C,)
     g = grid.reshape(B, -1, 2)
-    N = g.shape[1]
 
     x = jnp.clip(_unnormalize(g[..., 0], W, align_corners), 0.0, W - 1.0)
     y = jnp.clip(_unnormalize(g[..., 1], H, align_corners), 0.0, H - 1.0)
@@ -115,6 +111,19 @@ def grid_sample_2d_packed(packed, grid, align_corners: bool = True):
     flat = packed.reshape(B, H * W, C4)
     rows = jnp.take_along_axis(flat, idx[..., None], axis=1,
                                mode="promise_in_bounds")          # [B,N,4C]
+    return rows, wx, wy
+
+
+def grid_sample_2d_packed(packed, grid, align_corners: bool = True):
+    """Bilinear sample from a `pack_2x2` table with ONE gather per point.
+
+    packed: [B,H,W,4C]; grid: [B,...,2] (x,y in [-1,1]); border padding only
+    (the semantics the MatchNeRF query uses). Returns [B,...,C].
+    """
+    B, H, W, C4 = packed.shape
+    C = C4 // 4
+    out_shape = grid.shape[:-1] + (C,)
+    rows, wx, wy = packed_rows_and_weights(packed, grid, align_corners)
     t00 = rows[..., 0 * C:1 * C]
     t01 = rows[..., 1 * C:2 * C]
     t10 = rows[..., 2 * C:3 * C]

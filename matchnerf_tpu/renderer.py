@@ -98,11 +98,16 @@ class Renderer:
             def _render(params, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
                         ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
                         tables, rng):
+                # experimental Pallas interp+cosine fusion; measured slower
+                # than XLA's own fusion on v5e (208 vs 182 ms/8k rays), so off
+                # by default — flip precision.fused_cosine to re-evaluate
+                prec = cfg.get("precision") or {}
+                fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
                 return render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
                                    ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
                                    img_h=img_h, img_w=img_w, rng=rng,
                                    stratified=stratified, setbg_opaque=setbg,
-                                   tables=tables)
+                                   tables=tables, fused_cosine=fused)
 
             self._render_jit[key] = _render
         return self._render_jit[key]

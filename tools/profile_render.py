@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--feat_dtype", type=str, default="float32")
     parser.add_argument("--packed", action="store_true",
                         help="use 2x2-packed sampling tables")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused Pallas interp+cosine kernel")
     args = parser.parse_args()
 
     import jax
@@ -84,7 +86,7 @@ def main():
                           tgt_near_far=nf[:, -1], ref_w2c=poses[:, :-1, :3, :],
                           ref_intr=intr[:, :-1], ref_near_far=nf[:, :-1],
                           ref_images=ref, pair_feats=feats, img_h=H, img_w=W,
-                          tables=tables)
+                          tables=tables, fused_cosine=args.fused)
         return out["rgb"].reshape(-1, 3)[:4]
 
     def pts_of(pix_xy):
@@ -95,7 +97,8 @@ def main():
     def cond_stage(pix_xy, params, feats, tables):
         pts, _, _ = pts_of(pix_xy)
         cond, ndc0 = query_cond_info(cfg, pts, poses[:, :-1, :3, :], intr[:, :-1],
-                                     nf[:, :-1], ref, feats, H, W, tables=tables)
+                                     nf[:, :-1], ref, feats, H, W, tables=tables,
+                                     fused_cosine=args.fused)
         return (cond["feat_info"].sum() + cond["color_info"].sum()
                 + ndc0.sum()).reshape(1, 1) * jnp.ones((4, 3))
 
