@@ -192,9 +192,27 @@ class Coach:
             "tgt_c2w": jnp.asarray(c2w),
         }
 
+    def _install_preemption_handler(self):
+        """Save a resumable checkpoint on SIGTERM/SIGINT (preemption-safe
+        training — absent in the reference, SURVEY.md §5 'failure detection')."""
+        import signal
+
+        def _handler(signum, frame):
+            log.warn(f"received signal {signum}; saving checkpoint before exit...")
+            self.save_checkpoint_now(ep=getattr(self, "ep", 0),
+                                     it=getattr(self, "it", 0), backup_ckpt=False)
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _handler)
+            except ValueError:
+                pass  # not in main thread
+
     def train_model(self):
         cfg = self.cfg
         log.title("TRAINING START")
+        self._install_preemption_handler()
         self.timer = {"start": time.time(), "it_mean": None}
         self.it = self.iter_start
         self.ep = self.epoch_start
@@ -215,8 +233,15 @@ class Coach:
             if freq.test_ep > 0 and hasattr(self, "test_loaders"):
                 self.test_model(ep=0, save_images=False, is_sanity_check=True)
 
-        for self.ep in range(self.epoch_start, int(cfg.max_epoch)):
-            self.train_epoch()
+        trace_dir = cfg.get("profile_trace_dir")
+        if trace_dir:
+            from .utils.profiling import trace
+            with trace(trace_dir):
+                for self.ep in range(self.epoch_start, int(cfg.max_epoch)):
+                    self.train_epoch()
+        else:
+            for self.ep in range(self.epoch_start, int(cfg.max_epoch)):
+                self.train_epoch()
 
         if self._tb is not None:
             self._tb.flush()
