@@ -13,6 +13,7 @@ def main():
     log.title(f"[{__file__}] (MatchNeRF-TPU evaluation)")
     opt_cmd = options.parse_arguments(sys.argv[1:])
     opt = options.set_options(opt_cmd)
+    options.save_options_file(opt)
 
     coach = Coach(opt)
     coach.load_dataset(["test"])
