@@ -25,6 +25,14 @@ A100_REFERENCE_RAYS_PER_SEC = 15_000.0
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs (e.g. the driver's) skip the
+    # multi-minute remote compiles
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")

@@ -66,7 +66,8 @@ class Coach:
                     test_views_method=data_cfg.get("test_views_method", "nearest"),
                     nf_mode=data_cfg.get("nf_mode", "avg"),
                     eval_mode=data_cfg.get("eval_mode", "mvsnerf"),
-                    n_add_train_views=data_cfg.get("n_add_train_views", 2))
+                    n_add_train_views=data_cfg.get("n_add_train_views", 2),
+                    meta_dir=data_cfg.get("meta_dir"))
                 loader = DataLoader(dataset, batch_size=self.cfg.batch_size,
                                     shuffle=(split == "train"),
                                     num_workers=data_cfg.get("num_workers", 4),
@@ -131,12 +132,15 @@ class Coach:
         else:
             log.info("initializing weights from scratch...")
 
-    def save_checkpoint_now(self, ep: int, it: int, backup_ckpt: bool = True):
+    def save_checkpoint_now(self, ep: int, it: int, backup_ckpt: bool = True,
+                            async_write: bool = False):
+        """async_write is used for the frequent mid-epoch `latest.ckpt` saves
+        (training never blocks on disk); epoch-end/preemption saves are sync."""
         ckpt = {"model": self.params}
         if self.opt_state is not None:
             ckpt["optim"] = self.opt_state
         save_checkpoint(self.cfg.output_path, ckpt, ep=ep, it=it,
-                        backup_ckpt=backup_ckpt)
+                        backup_ckpt=backup_ckpt, async_write=async_write)
 
     # ------------------------------- logging --------------------------------
 
@@ -283,7 +287,8 @@ class Coach:
             self.log_scalars(loss=loss, lrates=self.get_cur_lrates(),
                              step=self.it, split="train")
         if self.ckpt_it and self.ckpt_it > 0 and self.it % self.ckpt_it == 0:
-            self.save_checkpoint_now(ep=self.ep, it=self.it, backup_ckpt=False)
+            self.save_checkpoint_now(ep=self.ep, it=self.it, backup_ckpt=False,
+                                     async_write=True)
         if self.val_it and self.val_it > 0 and self.it % self.val_it == 0:
             self.validate_model(iteration=self.it)
         if self.test_it and self.test_it > 0 and self.it % self.test_it == 0:

@@ -24,20 +24,46 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+_async_pool = None
+
+
+def _write_atomic(path: str, payload: bytes):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(output_path: str, checkpoint: Dict[str, Any], ep: int, it: int,
-                    backup_ckpt: bool = True):
+                    backup_ckpt: bool = True, async_write: bool = False):
+    """Write latest.ckpt (+ optional weight-only epoch backup).
+
+    async_write=True serializes on the caller (device->host copy) but does
+    the file IO on a background thread so training never blocks on disk —
+    the elastic-checkpointing behavior SURVEY.md §5 calls for. Writes are
+    atomic (tmp + rename) so a preemption mid-write can't corrupt latest.ckpt."""
     ckpt_dir = os.path.join(output_path, "models")
     os.makedirs(ckpt_dir, exist_ok=True)
     checkpoint = dict(checkpoint)
     checkpoint.update(epoch=ep, iter=it)
     payload = serialization.msgpack_serialize(_to_numpy(checkpoint))
-    with open(os.path.join(ckpt_dir, "latest.ckpt"), "wb") as f:
-        f.write(payload)
+    jobs = [(os.path.join(ckpt_dir, "latest.ckpt"), payload)]
     if backup_ckpt:
         # weights-only backup (no optim/sched state), misc/utils.py:217-222
         slim = {k: v for k, v in checkpoint.items() if k not in ("optim", "sched")}
-        with open(os.path.join(ckpt_dir, f"ep{ep}_it{it}.ckpt"), "wb") as f:
-            f.write(serialization.msgpack_serialize(_to_numpy(slim)))
+        jobs.append((os.path.join(ckpt_dir, f"ep{ep}_it{it}.ckpt"),
+                     serialization.msgpack_serialize(_to_numpy(slim))))
+
+    if async_write:
+        global _async_pool
+        if _async_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            _async_pool = ThreadPoolExecutor(max_workers=1)
+        for path, data in jobs:
+            _async_pool.submit(_write_atomic, path, data)
+    else:
+        for path, data in jobs:
+            _write_atomic(path, data)
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
