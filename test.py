@@ -7,6 +7,8 @@ import sys
 
 def main():
     from matchnerf_tpu import config as options
+    from matchnerf_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from matchnerf_tpu.engine import Coach
     from matchnerf_tpu.utils import log
 
