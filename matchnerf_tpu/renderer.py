@@ -144,6 +144,11 @@ class Renderer:
         (TPU-shaped analog of models/matchnerf.py:145-161)."""
         B = ref_images.shape[0]
         R = int(self.cfg.nerf.rand_rays_test) // max(B, 1)
+        # packed-gather intermediates OOM HBM beyond ~8k rays/slice on a
+        # 16GB chip; cap unless the user overrides (nerf.max_rays_per_slice)
+        cap = self.cfg.nerf.get("max_rays_per_slice", 8192)
+        if cap and jax.default_backend() not in ("cpu",):
+            R = min(R, int(cap))
         n_pix = img_h * img_w
         grid = np.asarray(camera.pixel_grid(img_h, img_w,
                                             legacy=self.cfg.nerf.legacy_coord))
