@@ -163,11 +163,12 @@ class Renderer:
                                          pix, img_h, img_w,
                                          tgt_override=tgt_override, tables=tables)
             for k, v in ret.items():
-                v = np.asarray(v)
                 if pad:
                     v = v[:, :R - pad]
                 outs.setdefault(k, []).append(v)
-        return {k: np.concatenate(v, axis=1) for k, v in outs.items()}
+        # keep results on-device until all slices are dispatched (device->host
+        # transfers through the TPU tunnel would otherwise serialize slices)
+        return {k: np.asarray(jnp.concatenate(v, axis=1)) for k, v in outs.items()}
 
     # ------------------------------ video ----------------------------------
 
