@@ -98,6 +98,27 @@ class Coach:
 
     # ------------------------------ optimizer -------------------------------
 
+    def setup_parallel(self):
+        """Create the device mesh for data-parallel training (replaces the
+        reference's DataParallel wrap, coach.py:83-85). With n>1 devices and
+        batch_size divisible by n, batches shard over the 'data' axis and
+        params replicate; XLA inserts the gradient psum."""
+        from .parallel import make_mesh, replicate
+
+        n = int((self.cfg.get("parallel") or {}).get("data_parallel", -1) or -1)
+        avail = len(jax.devices())
+        if n <= 0:
+            n = avail
+        n = min(n, avail)
+        if n <= 1 or int(self.cfg.batch_size) % n != 0:
+            self.mesh = None
+            return
+        self.mesh = make_mesh(n_devices=n)
+        self.params = jax.device_put(self.params, replicate(self.mesh))
+        if self.opt_state is not None:
+            self.opt_state = jax.device_put(self.opt_state, replicate(self.mesh))
+        log.info(f"  * data-parallel mesh over {n} devices")
+
     def setup_optimizer(self):
         log.info("setting up optimizers...")
         assert hasattr(self, "train_loader"), "load the training data first"
@@ -188,13 +209,17 @@ class Coach:
         tgt_extr = np.asarray(batch["extrinsics"][:, -1, :3, :])
         c2w = (camera.pose_inverse_legacy_np(tgt_extr) if self.cfg.nerf.legacy_coord
                else np.asarray(camera.pose_inverse(jnp.asarray(tgt_extr))))
-        return {
+        dev = {
             "images": jnp.asarray(batch["images"]),
             "extrinsics": jnp.asarray(batch["extrinsics"]),
             "intrinsics": jnp.asarray(batch["intrinsics"]),
             "near_fars": jnp.asarray(batch["near_fars"]),
             "tgt_c2w": jnp.asarray(c2w),
         }
+        if getattr(self, "mesh", None) is not None:
+            from .parallel.mesh import shard_batch_tree
+            dev = shard_batch_tree(dev, self.mesh)
+        return dev
 
     def _install_preemption_handler(self):
         """Save a resumable checkpoint on SIGTERM/SIGINT (preemption-safe
@@ -226,6 +251,7 @@ class Coach:
         self.test_it = math.ceil(freq.test_it * n_loader) if freq.test_it > 0 else freq.test_it
         self.ckpt_it = math.ceil(freq.ckpt_it * n_loader) if freq.ckpt_it > 0 else freq.ckpt_it
 
+        self.setup_parallel()
         W, H = cfg.data_train.img_wh
         n_rays = int(cfg.nerf.rand_rays_train) // max(int(cfg.batch_size), 1)
         self._train_step = make_train_step(cfg, self.tx, H, W, n_rays)
