@@ -75,22 +75,33 @@ def main():
             ref_near_far=nf[:, :-1], ref_images=ref_images,
             pair_feats=None, tables=tables, img_h=H, img_w=W)["rgb"]
 
-    # device-side timing loop: K chained render slices inside one dispatch
-    # (host-side per-dispatch timing is unreliable through the TPU relay)
-    @jax.jit
-    def run(pix0, params, tables):
-        def step(carry, _):
-            out = render_slice(params, tables, carry)
-            return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
-        carry, _ = jax.lax.scan(step, pix0, None, length=K)
-        return carry
+    # device-side timing: K chained render slices inside one dispatch
+    # (host-side per-dispatch timing is unreliable through the TPU relay);
+    # measure at two K values and take the marginal slope so the fixed
+    # per-dispatch relay overhead (~30ms) cancels out
+    def make_run(K):
+        @jax.jit
+        def run(pix0, params, tables):
+            def step(carry, _):
+                out = render_slice(params, tables, carry)
+                return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
+            carry, _ = jax.lax.scan(step, pix0, None, length=K)
+            return carry
+        return run
 
-    out = run(pix, params, tables)             # compile
-    np.asarray(out).sum()
-    t0 = time.perf_counter()
-    out = run(pix, params, tables)
-    np.asarray(out).sum()
-    dt = (time.perf_counter() - t0) / K
+    def timed(K):
+        run = make_run(K)
+        out = run(pix, params, tables)         # compile
+        np.asarray(out).sum()
+        t0 = time.perf_counter()
+        out = run(pix, params, tables)
+        np.asarray(out).sum()
+        return time.perf_counter() - t0
+
+    K_lo, K_hi = 4, 12
+    t_lo = timed(K_lo)
+    t_hi = timed(K_hi)
+    dt = max((t_hi - t_lo) / (K_hi - K_lo), 1e-6)
 
     # encoder share, amortized once per image: K chained encodes
     @jax.jit

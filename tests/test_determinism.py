@@ -16,12 +16,12 @@ def test_same_seed_same_training_trajectory(tmp_path):
     from matchnerf_tpu.train_step import build_optimizer, make_train_step
 
     cfg = tiny_cfg(tmp_path)
+    tx, _ = build_optimizer(cfg, total_steps=100)
+    step = make_train_step(cfg, tx, 16, 16, 32)   # shared: one compile
 
     def run():
         params = init_matchnerf(jax.random.PRNGKey(0), cfg)
-        tx, _ = build_optimizer(cfg, total_steps=100)
         opt = tx.init(params)
-        step = make_train_step(cfg, tx, 16, 16, 32)
         batch = collate([SyntheticDataset(n=1, H=16, W=16)[0]])
         dev = {k: jnp.asarray(batch[k]) for k in
                ("images", "extrinsics", "intrinsics", "near_fars")}

@@ -103,7 +103,8 @@ def test_ibrnet_resize_hack():
 
     params = init_gmflow(jax.random.PRNGKey(0), num_transformer_layers=1)
     imgs = jnp.zeros((1, 3, 756, 1008, 3), jnp.float32)
-    scales = gmflow_extract_pair_features(params, imgs, attn_splits_list=[2],
+    # attn_splits [4] as the ibrnet config uses (configs/train_ibrnet.yaml:9)
+    scales = gmflow_extract_pair_features(params, imgs, attn_splits_list=[4],
                                           n_views=3)
     assert scales[0].shape == (1, 3, 2, 96, 128, 128)   # 768/8, 1024/8
     assert scales[1].shape == (1, 3, 2, 192, 256, 128)  # 1/4 after upsampler
