@@ -136,12 +136,42 @@ class Renderer:
                   jnp.asarray(poses["ref"]["near_fars"]),
                   ref_images, pair_feats, tables, rng)
 
+    def _get_multislice_fn(self, img_h: int, img_w: int, setbg: bool, G: int):
+        """Jitted scan over G sub-slices per dispatch: keeps per-step memory
+        at one slice while amortizing the per-dispatch overhead (the TPU
+        relay charges ~30ms per call)."""
+        key = ("multi", img_h, img_w, setbg, G)
+        if key not in self._render_jit:
+            cfg = self.cfg
+            prec = cfg.get("precision") or {}
+            fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
+
+            @jax.jit
+            def _render_groups(params, pix_groups, tgt_intr, tgt_c2w, tgt_nf,
+                               ref_w2c, ref_intr, ref_nf, ref_images,
+                               pair_feats, tables):
+                def step(_, pix_xy):
+                    out = render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w,
+                                      tgt_nf, ref_w2c, ref_intr, ref_nf,
+                                      ref_images, pair_feats,
+                                      img_h=img_h, img_w=img_w,
+                                      setbg_opaque=setbg, tables=tables,
+                                      fused_cosine=fused)
+                    return (), out
+                _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
+                return outs
+
+            self._render_jit[key] = _render_groups
+        return self._render_jit[key]
+
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
                          tgt_override: Optional[Dict] = None,
                          tables: Optional[Dict] = None) -> Dict:
         """Full-image rendering in fixed-size ray slices with tail padding
-        (TPU-shaped analog of models/matchnerf.py:145-161)."""
+        (TPU-shaped analog of models/matchnerf.py:145-161). Slices are
+        processed `nerf.slices_per_dispatch` at a time inside one compiled
+        scan."""
         B = ref_images.shape[0]
         R = int(self.cfg.nerf.rand_rays_test) // max(B, 1)
         # packed-gather intermediates OOM HBM beyond ~8k rays/slice on a
@@ -152,23 +182,37 @@ class Renderer:
         n_pix = img_h * img_w
         grid = np.asarray(camera.pixel_grid(img_h, img_w,
                                             legacy=self.cfg.nerf.legacy_coord))
+        n_slices = (n_pix + R - 1) // R
+        G = max(1, min(int(self.cfg.nerf.get("slices_per_dispatch", 4)), n_slices))
+
+        # all slice pixel coords, padded to a multiple of G slices
+        idx = np.arange(n_pix)
+        total = ((n_slices + G - 1) // G) * G * R
+        idx = np.concatenate([idx, np.full(total - n_pix, n_pix - 1)])
+        pix_all = grid[idx].reshape(-1, G, R, 2)                 # [n_groups,G,R,2]
+        pix_all = np.broadcast_to(pix_all[:, :, None], (pix_all.shape[0], G, B, R, 2))
+
+        tgt = tgt_override or poses["tgt"]
+        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
+        fn = self._get_multislice_fn(img_h, img_w, self.nerf_setbg_opaque, G)
+
         outs: Dict[str, list] = {}
-        for c in range(0, n_pix, R):
-            idx = np.arange(c, min(c + R, n_pix))
-            pad = R - len(idx)
-            if pad:
-                idx = np.concatenate([idx, np.full(pad, n_pix - 1)])
-            pix = np.broadcast_to(grid[idx][None], (B, R, 2))
-            ret = self.render_given_rays(params, poses, ref_images, pair_feats,
-                                         pix, img_h, img_w,
-                                         tgt_override=tgt_override, tables=tables)
+        for gi in range(pix_all.shape[0]):
+            ret = fn(params, jnp.asarray(pix_all[gi]),
+                     jnp.asarray(tgt["intrinsics"]), jnp.asarray(c2w),
+                     jnp.asarray(tgt["near_fars"]),
+                     jnp.asarray(poses["ref"]["extrinsics"]),
+                     jnp.asarray(poses["ref"]["intrinsics"]),
+                     jnp.asarray(poses["ref"]["near_fars"]),
+                     ref_images, pair_feats, tables)
             for k, v in ret.items():
-                if pad:
-                    v = v[:, :R - pad]
+                # [G,B,R,*] -> [B,G*R,*]
+                v = jnp.moveaxis(v, 0, 1).reshape(B, G * R, *v.shape[3:])
                 outs.setdefault(k, []).append(v)
-        # keep results on-device until all slices are dispatched (device->host
+        # keep results on-device until all groups are dispatched (device->host
         # transfers through the TPU tunnel would otherwise serialize slices)
-        return {k: np.asarray(jnp.concatenate(v, axis=1)) for k, v in outs.items()}
+        return {k: np.asarray(jnp.concatenate(v, axis=1))[:, :n_pix]
+                for k, v in outs.items()}
 
     # ------------------------------ video ----------------------------------
 

@@ -73,3 +73,27 @@ def test_onecycle_schedule_shape():
     assert float(sched(1000)) == pytest.approx(1e-3 / 25 / 1e4, rel=1e-2)
     mid = float(sched(550))
     assert 1e-3 / 25 / 1e4 < mid < 1e-3
+
+
+def test_render_by_slices_ragged_tail_grouping(tmp_path):
+    """Slice grouping with a ragged tail must equal a single-slice render."""
+    from matchnerf_tpu.data.loader import collate
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer
+
+    cfg = tiny_cfg(tmp_path)
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    batch = collate([SyntheticDataset(n=1, H=16, W=16)[0]])
+
+    cfg.nerf.rand_rays_test = 96            # 256 px -> 3 slices, ragged tail
+    cfg.nerf.slices_per_dispatch = 2        # 2 groups, second group padded
+    r_a = Renderer(cfg)
+    out_a = r_a.forward(params, batch, mode="test")
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.nerf.rand_rays_test = 256          # one exact slice
+    r_b = Renderer(cfg2)
+    out_b = r_b.forward(params, batch, mode="test")
+
+    np.testing.assert_allclose(out_a["rgb"], out_b["rgb"], atol=1e-5)
+    np.testing.assert_allclose(out_a["depth"], out_b["depth"], atol=1e-5)
