@@ -38,6 +38,8 @@ class Coach:
         self.iter_start = 0
         self.params = None
         self.opt_state = None
+        self.mesh = None
+        self.parallel_mode = None
         self.renderer = Renderer(cfg)
         self.scalars_path = os.path.join(cfg.output_path, "scalars.jsonl")
         self._tb = None
@@ -110,14 +112,40 @@ class Coach:
         if n <= 0:
             n = avail
         n = min(n, avail)
-        if n <= 1 or int(self.cfg.batch_size) % n != 0:
-            self.mesh = None
+        n_rays = int(self.cfg.nerf.rand_rays_train) // max(int(self.cfg.batch_size), 1)
+        if n > 1 and int(self.cfg.batch_size) % n == 0:
+            self.parallel_mode = "batch"
+        elif n > 1 and n_rays % n == 0:
+            # flagship recipe is batch_size=1 (configs/train.yaml): shard the
+            # 1024-ray axis instead so every chip still contributes
+            self.parallel_mode = "rays"
+        else:
+            self.mesh, self.parallel_mode = None, None
             return
         self.mesh = make_mesh(n_devices=n)
         self.params = jax.device_put(self.params, replicate(self.mesh))
         if self.opt_state is not None:
             self.opt_state = jax.device_put(self.opt_state, replicate(self.mesh))
-        log.info(f"  * data-parallel mesh over {n} devices")
+        self.renderer.set_mesh(self.mesh)
+        log.info(f"  * {self.parallel_mode}-parallel mesh over {n} devices")
+
+    def setup_eval_parallel(self):
+        """Standalone-eval mesh (test.py path): replicate params and shard
+        render-slice rays over all attached chips. During training,
+        setup_parallel already configured this."""
+        if self.mesh is not None:
+            return
+        from .parallel import make_mesh, replicate
+
+        n = int((self.cfg.get("parallel") or {}).get("data_parallel", -1) or -1)
+        avail = len(jax.devices())
+        n = avail if n <= 0 else min(n, avail)
+        if n <= 1:
+            return
+        self.mesh = make_mesh(n_devices=n)
+        self.params = jax.device_put(self.params, replicate(self.mesh))
+        self.renderer.set_mesh(self.mesh)
+        log.info(f"  * eval ray-sharding mesh over {n} devices")
 
     def setup_optimizer(self):
         log.info("setting up optimizers...")
@@ -254,7 +282,9 @@ class Coach:
         self.setup_parallel()
         W, H = cfg.data_train.img_wh
         n_rays = int(cfg.nerf.rand_rays_train) // max(int(cfg.batch_size), 1)
-        self._train_step = make_train_step(cfg, self.tx, H, W, n_rays)
+        self._train_step = make_train_step(
+            cfg, self.tx, H, W, n_rays, mesh=self.mesh,
+            shard_rays=self.parallel_mode == "rays")
         self._rng = jax.random.PRNGKey(int(cfg.get("seed") or 0))
 
         if cfg.get("sanity_check") and self.it == 0:

@@ -95,8 +95,9 @@ def lpips_distance(pred: np.ndarray, gt: np.ndarray) -> float:
         fb = _vgg_features(w, norm_input(b)[None])
         total = 0.0
         for i, (xa, xb) in enumerate(zip(fa, fb)):
-            na = xa / jnp.sqrt((xa ** 2).sum(-1, keepdims=True) + 1e-10)
-            nb = xb / jnp.sqrt((xb ** 2).sum(-1, keepdims=True) + 1e-10)
+            # lpips.normalize_tensor: eps added OUTSIDE the sqrt
+            na = xa / (jnp.sqrt((xa ** 2).sum(-1, keepdims=True)) + 1e-10)
+            nb = xb / (jnp.sqrt((xb ** 2).sum(-1, keepdims=True)) + 1e-10)
             diff = (na - nb) ** 2
             lin = jnp.asarray(w[f"lin{i}"])                    # [C]
             total = total + (diff * lin).sum(-1).mean()

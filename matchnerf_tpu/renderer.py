@@ -53,11 +53,29 @@ def extract_poses(batch: Dict) -> Dict:
 class Renderer:
     """Caches jitted encode/render executables keyed by static shapes."""
 
-    def __init__(self, cfg: DotDict, setbg_opaque: bool = False):
+    def __init__(self, cfg: DotDict, setbg_opaque: bool = False, mesh=None):
         self.cfg = cfg
         self.nerf_setbg_opaque = setbg_opaque
         self._encode_jit = None
         self._render_jit = {}
+        self.mesh = mesh
+
+    def set_mesh(self, mesh):
+        """Shard eval rays over the mesh's 'data' axis (rays are
+        embarrassingly parallel — zero collectives). Clears cached
+        executables so they re-trace with the sharding constraints."""
+        self.mesh = mesh
+        self._render_jit = {}
+
+    def _ray_constraint(self, pix, ray_dim: int):
+        """Constrain `pix`'s ray axis over the mesh when it divides evenly."""
+        if self.mesh is None or pix.shape[ray_dim] % self.mesh.devices.size:
+            return pix
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = [None] * pix.ndim
+        spec[ray_dim] = "data"
+        return jax.lax.with_sharding_constraint(
+            pix, NamedSharding(self.mesh, P(*spec)))
 
     # ------------------------------ encode ---------------------------------
 
@@ -103,6 +121,7 @@ class Renderer:
                 # by default — flip precision.fused_cosine to re-evaluate
                 prec = cfg.get("precision") or {}
                 fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
+                pix_xy = self._ray_constraint(pix_xy, 1)
                 return render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
                                    ref_w2c, ref_intr, ref_nf, ref_images, pair_feats,
                                    img_h=img_h, img_w=img_w, rng=rng,
@@ -150,7 +169,10 @@ class Renderer:
             def _render_groups(params, pix_groups, tgt_intr, tgt_c2w, tgt_nf,
                                ref_w2c, ref_intr, ref_nf, ref_images,
                                pair_feats, tables):
+                pix_groups = self._ray_constraint(pix_groups, 3)  # [G,B,R,2]
+
                 def step(_, pix_xy):
+                    pix_xy = self._ray_constraint(pix_xy, 1)
                     out = render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w,
                                       tgt_nf, ref_w2c, ref_intr, ref_nf,
                                       ref_images, pair_feats,
@@ -179,6 +201,9 @@ class Renderer:
         cap = self.cfg.nerf.get("max_rays_per_slice", 8192)
         if cap and jax.default_backend() not in ("cpu",):
             R = min(R, int(cap))
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            R = max(((R + n_dev - 1) // n_dev) * n_dev, n_dev)
         n_pix = img_h * img_w
         grid = np.asarray(camera.pixel_grid(img_h, img_w,
                                             legacy=self.cfg.nerf.legacy_coord))

@@ -68,7 +68,8 @@ def main(argv=None):
 
     print(args.pred_folder)
     for m, vals in avg_logger.items():
-        print(m, float(np.nanmean(vals)))
+        finite = [v for v in vals if np.isfinite(v)]
+        print(m, float(np.mean(finite)) if finite else "n/a (no finite values)")
 
 
 if __name__ == "__main__":

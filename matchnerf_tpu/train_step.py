@@ -85,10 +85,29 @@ def build_optimizer(cfg, total_steps: int):
     return tx, schedules
 
 
-def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
-    """Build the jitted train step for a fixed (H, W, rays) shape."""
+def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
+                    mesh=None, shard_rays: bool = False):
+    """Build the jitted train step for a fixed (H, W, rays) shape.
+
+    Parallel modes (mesh from `parallel.make_mesh`):
+    - batch mode (shard_rays=False): caller shards the batch dim of `batch`
+      over the 'data' axis; jit infers the SPMD program from input shardings.
+    - ray mode (shard_rays=True): for the flagship `batch_size: 1` recipe
+      (configs/train.yaml) where the batch dim can't split, the 1024-ray axis
+      is sharded instead via an in-graph constraint; params stay replicated
+      and XLA psums the grads over ICI. Rays are embarrassingly parallel so
+      the only collectives are the loss/grad reductions.
+    """
     render_w = cfg.loss_weight.get("render", 1.0) or 0.0
     stratified = bool(cfg.nerf.sample_stratified)
+    ray_sharding = None
+    if mesh is not None and shard_rays:
+        n_dev = mesh.devices.size
+        assert n_rays % n_dev == 0, (
+            f"ray-sharded training needs n_rays ({n_rays}) divisible by the "
+            f"mesh size ({n_dev})")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ray_sharding = NamedSharding(mesh, P(None, "data"))
 
     def loss_fn(params, batch, rng):
         ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
@@ -107,6 +126,8 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
         pix_x = (ray_idx % img_w).astype(jnp.float32) + off
         pix_y = (ray_idx // img_w).astype(jnp.float32) + off
         pix = jnp.broadcast_to(jnp.stack([pix_x, pix_y], -1)[None], (B, n_rays, 2))
+        if ray_sharding is not None:
+            pix = jax.lax.with_sharding_constraint(pix, ray_sharding)
 
         out = render_rays(
             params, cfg, pix,
@@ -123,6 +144,8 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int):
         tgt = batch["images"][:, -1].reshape(B, img_h * img_w, 3)
         tgt = jnp.take_along_axis(tgt, jnp.broadcast_to(
             ray_idx[None, :, None], (B, n_rays, 3)), axis=1)
+        if ray_sharding is not None:
+            tgt = jax.lax.with_sharding_constraint(tgt, ray_sharding)
         mse = jnp.mean((out["rgb"] - tgt) ** 2)
         loss_all = render_w * mse
         return loss_all, {"render": mse}

@@ -35,9 +35,10 @@ def save_image(path: str, img: np.ndarray):
     imageio.imwrite(path, img)
 
 
-def write_video(out_path: str, frames: List[np.ndarray], pts_rate: float = 2.0):
-    """Write an mp4 (misc/utils.py:316-320). Falls back to frame dumps when
-    no ffmpeg backend exists."""
+def write_video(out_path: str, frames: List[np.ndarray], pts_rate: float = 2.0) -> str:
+    """Write an mp4 (misc/utils.py:316-320). Prefers imageio/ffmpeg (x264),
+    then cv2's bundled mp4v codec (no system ffmpeg needed), then a GIF as
+    the last resort. Returns the path actually written."""
     fps = max(1.0, 24.0 / pts_rate)
     try:
         import imageio
@@ -45,10 +46,25 @@ def write_video(out_path: str, frames: List[np.ndarray], pts_rate: float = 2.0):
                                 pixelformat="yuv420p", quality=8) as w:
             for frame in frames:
                 w.append_data(frame)
-        return
+        return out_path
+    except Exception as e:
+        log.info(f"imageio/ffmpeg writer unavailable ({type(e).__name__}); "
+                 "trying cv2 mp4v")
+    try:
+        import cv2
+        h, w_px = frames[0].shape[:2]
+        vw = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, (w_px, h))
+        if not vw.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open mp4v stream")
+        for frame in frames:
+            vw.write(cv2.cvtColor(np.ascontiguousarray(frame), cv2.COLOR_RGB2BGR))
+        vw.release()
+        return out_path
     except Exception as e:
         base = os.path.splitext(out_path)[0]
-        log.warn(f"ffmpeg video writer unavailable ({type(e).__name__}); "
+        log.warn(f"no mp4 writer available ({type(e).__name__}); "
                  f"writing {base}.gif instead")
         import imageio
         imageio.mimsave(f"{base}.gif", frames, fps=min(fps, 24), loop=0)
+        return f"{base}.gif"

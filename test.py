@@ -21,6 +21,7 @@ def main():
     coach.load_dataset(["test"])
     coach.build_networks()
     coach.restore_checkpoint_if_needed()
+    coach.setup_eval_parallel()
     if opt.nerf.get("render_video"):
         coach.test_model_video()
     else:

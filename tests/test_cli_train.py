@@ -101,10 +101,16 @@ freq:
     cfg_path = tmp_path / "train_smoke.yaml"
     cfg_path.write_text(cfg)
 
+    env = _cli_env()
+    # 8 virtual devices: batch_size=1 so the engine must pick ray-sharding
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
     proc = subprocess.run(
         [sys.executable, "train.py", f"--yaml={cfg_path}"],
-        cwd=REPO, env=_cli_env(), capture_output=True, text=True, timeout=900)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
     assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "rays-parallel mesh over 8 devices" in proc.stdout + proc.stderr, \
+        "engine did not engage ray-sharding at batch_size=1 on an 8-device mesh"
 
     outdir = tmp_path / "outputs" / "train_smoke"
     assert (outdir / "models" / "latest.ckpt").exists()

@@ -42,9 +42,14 @@ def test_demo_own_video_flow(tmp_path):
 
     outdir = os.path.join(cfg.output_path, "test_videos", "colmap")
     files = os.listdir(outdir)
-    # source contact sheet + video artifact (gif fallback without ffmpeg)
+    # source contact sheet + a real mp4 (cv2's bundled codec needs no ffmpeg)
     assert any(f.endswith(".jpg") for f in files), files
-    assert any(f.endswith((".mp4", ".gif")) for f in files), files
+    mp4s = [f for f in files if f.endswith(".mp4")]
+    assert mp4s, f"expected an mp4 container, got {files}"
+    import cv2
+    cap = cv2.VideoCapture(os.path.join(outdir, mp4s[0]))
+    ok, frame = cap.read()
+    assert ok and frame is not None and frame.size, "mp4 not decodable"
 
 
 @pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="demo data missing")
