@@ -64,7 +64,7 @@ def _feature_add_position(feat, attn_splits: int, feature_channels: int):
         pos = jnp.tile(pos, (attn_splits, attn_splits, 1))
     else:
         pos = sine_position_embedding_2d(h, w, num_pos_feats=feature_channels // 2)
-    return feat + pos[None]
+    return feat + pos[None].astype(feat.dtype)
 
 
 def resolve_attention_backend(backend: str = "auto") -> str:
@@ -80,13 +80,26 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
                                  wo_cross_attn: bool = False, layers_caps=None,
                                  feature_channels: int = 128, num_scales: int = 1,
                                  feature_upsampler: str = "network",
-                                 attention_backend: str = "auto"):
+                                 attention_backend: str = "auto",
+                                 compute_dtype=None, remat: bool = False):
     """Encode source views into matched pair features.
 
     images: [B, V, H, W, 3] in [0,1]. Returns a list over scales of
     [B, P, 2, h, w, C] arrays (raw transformer scale first when
     keep_raw_feats, then the upsampled scale), P = C(V,2).
+
+    compute_dtype: None/f32 for exact parity; jnp.bfloat16 runs convs and
+    attention matmuls in bf16 with f32 master weights (cast in-graph; grads
+    flow back to f32 through the cast) and f32 norm/softmax statistics —
+    the TPU mixed-precision training policy. Outputs are cast back to f32.
+    remat: checkpoint each transformer layer (recompute in backward) to cut
+    activation memory for large training shapes.
     """
+    cd = None
+    if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
+        cd = jnp.dtype(compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
     b, v, img_h, img_w, _ = images.shape
     assert v == n_views
     pairs = pair_index_lists(n_views)
@@ -100,8 +113,10 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
         images = flat.reshape(b, v, img_h, img_w, 3)
 
     # backbone over all views at once (gmflow.py:51)
-    feats = apply_cnn_encoder(params["backbone"],
-                              normalize_images(images).reshape(b * v, img_h, img_w, 3),
+    net_in = normalize_images(images).reshape(b * v, img_h, img_w, 3)
+    if cd is not None:
+        net_in = net_in.astype(cd)
+    feats = apply_cnn_encoder(params["backbone"], net_in,
                               num_output_scales=num_scales)
     feats = feats[::-1]  # low-to-high resolution (gmflow.py:53-54)
 
@@ -131,7 +146,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
             params["transformer"], feat0, feat1, attn_num_splits=attn_splits,
             layers_cap=layers_caps[att_idx], wo_cross_attn=wo_cross_attn,
             wo_self_attn=wo_self_attn,
-            backend=resolve_attention_backend(attention_backend))
+            backend=resolve_attention_backend(attention_backend),
+            remat=remat)
 
         if keep_raw_feats:
             out_scales.append(jnp.stack([feat0, feat1], axis=1)
@@ -148,4 +164,6 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
             out_scales.append(jnp.stack([feat0, feat1], axis=1)
                               .reshape(b, n_pairs, 2, h, w, c))
 
+    if cd is not None:
+        out_scales = [f.astype(jnp.float32) for f in out_scales]
     return out_scales

@@ -87,7 +87,8 @@ def init_feature_transformer(key, num_layers=6, d_model=128, ffn_dim_expansion=4
 
 def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
                               layers_cap=None, wo_cross_attn=False, wo_self_attn=False,
-                              attention_type: str = "swin", backend: str = "xla"):
+                              attention_type: str = "swin", backend: str = "xla",
+                              remat: bool = False):
     """feature0/feature1: [B,H,W,C] paired views -> enhanced [B,H,W,C] each.
 
     Mirrors FeatureTransformer.forward (transformer.py:279-339): both views
@@ -106,17 +107,23 @@ def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
     concat1 = jnp.concatenate([f1, f0], axis=0)
 
     n_layers = len(p["layers"]) if layers_cap is None else min(layers_cap, len(p["layers"]))
+
+    def attn_apply(p_l, src, tgt, with_shift):
+        return _apply_attn_layer(p_l, src, tgt, h, w, attn_num_splits,
+                                 with_shift, mask, backend=backend)
+
+    if remat:
+        # recompute each attention layer in backward: activation memory per
+        # layer drops to its inputs (static config closed over; with_shift
+        # static so both variants get their own checkpointed trace)
+        attn_apply = jax.checkpoint(attn_apply, static_argnums=(3,))
     for i in range(n_layers):
         layer = p["layers"][i]
         with_shift = attention_type == "swin" and (i % 2 == 1)
         if not wo_self_attn:
-            concat0 = _apply_attn_layer(layer["self_attn"], concat0, concat0, h, w,
-                                        attn_num_splits, with_shift, mask,
-                                        backend=backend)
+            concat0 = attn_apply(layer["self_attn"], concat0, concat0, with_shift)
         if not wo_cross_attn:
-            concat0 = _apply_attn_layer(layer["cross_attn_ffn"], concat0, concat1, h, w,
-                                        attn_num_splits, with_shift, mask,
-                                        backend=backend)
+            concat0 = attn_apply(layer["cross_attn_ffn"], concat0, concat1, with_shift)
         # refresh partner: swap the two halves of the updated stack
         half0, half1 = jnp.split(concat0, 2, axis=0)
         concat1 = jnp.concatenate([half1, half0], axis=0)

@@ -65,8 +65,10 @@ def full_attention(q, k, v):
 
     q,k,v: [B,L,C] -> [B,L,C] (transformer.py:8-16)."""
     c = q.shape[-1]
-    scores = jnp.einsum("blc,bmc->blm", q, k) / jnp.sqrt(jnp.float32(c))
-    attn = jax.nn.softmax(scores, axis=-1)
+    # scores/softmax always f32 (bf16 compute policy keeps qk^T stable)
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(c))
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("blm,bmc->blc", attn, v)
 
 
@@ -91,10 +93,11 @@ def split_window_attention(q, k, v, num_splits: int, with_shift: bool, attn_mask
     k = split_feature(k, num_splits).reshape(b_new, -1, c)
     v = split_feature(v, num_splits).reshape(b_new, -1, c)
 
-    scores = jnp.einsum("blc,bmc->blm", q, k) / jnp.sqrt(jnp.float32(c))
+    scores = jnp.einsum("blc,bmc->blm", q, k,
+                        preferred_element_type=jnp.float32) / jnp.sqrt(jnp.float32(c))
     if with_shift:
         scores = scores + jnp.tile(attn_mask, (b, 1, 1))
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("blm,bmc->blc", attn, v)
 
     out = merge_splits(out.reshape(b_new, ws_h, ws_w, c), num_splits)

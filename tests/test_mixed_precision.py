@@ -1,0 +1,81 @@
+"""Mixed-precision encoder policy: bf16 compute stays close to f32, remat is
+bit-exact, and the f32 default is unchanged (oracle parity files pin that)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import __graft_entry__ as ge
+from matchnerf_tpu.models.matchnerf import encode, init_matchnerf
+from matchnerf_tpu.train_step import build_optimizer, make_train_step
+from matchnerf_tpu.utils import DotDict
+
+
+def _cfg(**precision):
+    cfg = ge._tiny_cfg(n_layers=2, sample_intvs=8)
+    cfg.precision = DotDict(dict(cond_sample_dtype="float32", **precision))
+    return cfg
+
+
+def test_bf16_encoder_close_to_f32():
+    cfg32 = _cfg()
+    cfg16 = _cfg(encoder_compute_dtype="bfloat16")
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg32)
+    d = ge._synthetic_inputs(cfg32, 1, 32, 32, R=16)
+    imgs = jnp.asarray(d["images"][:, :3])
+
+    f32 = encode(params, cfg32, imgs)
+    f16 = encode(params, cfg16, imgs)
+    for a, b in zip(f32, f16):
+        assert b.dtype == jnp.float32          # outputs cast back
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        denom = np.abs(a).mean() + 1e-6
+        rel = np.abs(a - b).mean() / denom
+        assert rel < 2e-2, f"bf16 encoder drifted: rel {rel}"
+
+
+def test_bf16_train_step_runs_and_tracks_f32():
+    cfg32 = _cfg()
+    cfg16 = _cfg(encoder_compute_dtype="bfloat16")
+    H = W = 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg32)
+    d = ge._synthetic_inputs(cfg32, 1, H, W, R=16)
+    batch = {"images": d["images"], "extrinsics": d["poses"],
+             "intrinsics": d["intr"], "near_fars": d["near_fars"],
+             "tgt_c2w": d["tgt_c2w"]}
+    rng = jax.random.PRNGKey(1)
+
+    def run(cfg):
+        tx, _ = build_optimizer(cfg, total_steps=10)
+        step = make_train_step(cfg, tx, H, W, n_rays=32)
+        _, _, loss = step(params, tx.init(params), batch, rng)
+        return float(loss["all"])
+
+    l32, l16 = run(cfg32), run(cfg16)
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / (abs(l32) + 1e-8) < 0.05, (l32, l16)
+
+
+def test_remat_encoder_bit_exact():
+    cfg = _cfg()
+    cfg_r = _cfg(remat_encoder=True)
+    H = W = 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    batch = {"images": d["images"], "extrinsics": d["poses"],
+             "intrinsics": d["intr"], "near_fars": d["near_fars"],
+             "tgt_c2w": d["tgt_c2w"]}
+    rng = jax.random.PRNGKey(1)
+
+    def run(c):
+        tx, _ = build_optimizer(c, total_steps=10)
+        step = make_train_step(c, tx, H, W, n_rays=32)
+        new_p, _, loss = step(params, tx.init(params), batch, rng)
+        return float(loss["all"]), new_p
+
+    l0, p0 = run(cfg)
+    l1, p1 = run(cfg_r)
+    assert l0 == l1, "remat changed the loss"
+    for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)
