@@ -86,7 +86,7 @@ def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
     return depth
 
 
-def prepare_sampling_tables(cfg, pair_feats, ref_images):
+def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None):
     """Pack feature maps and source images into 2x2-tap sampling tables.
 
     Done once per image set (amortized over all render slices/frames). Two
@@ -95,17 +95,23 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images):
 
     - `pack_2x2`: each pixel's four bilinear taps live in one row, so the hot
       loop does ONE gather per point instead of four (TPU gathers are
-      per-index bound)
+      byte/index-bound)
     - view-major channel concat: all pair-side features a view contributes
       (chunk order = pair order, matching matchnerf.py:198-203) merge into a
       single table per (view, scale), collapsing 12 feature gathers into 6
 
+    feat_dtype=jnp.int8 additionally quantizes each feature table with a
+    per-(view, channel) abs-max scale, halving gather bytes vs bf16; the
+    dequant scale is applied AFTER bilinear interpolation, which is exact
+    w.r.t. the quantized table because interpolation is linear per channel.
+
     Returns {'view_feats': [per scale: [B,V,h,w,4*(V-1)*C]],
-             'colors': [B,V,H,W,12], 'chunk_of': (V-1)*C}.
+             'view_feat_scales': [per scale: [B,V,(V-1)*C] or None],
+             'colors': [B,V,H,W,12]}.
     """
     n_views = cfg.n_src_views
     pairs = pair_index_lists(n_views)
-    view_feats = []
+    view_feats, view_scales = [], []
     for feats in pair_feats:
         B, P, _, h, w, C = feats.shape
         per_view = []
@@ -114,12 +120,23 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images):
                       for p_idx, (a, b) in enumerate(pairs) if v in (a, b)]
             per_view.append(jnp.concatenate(chunks, axis=-1))     # [B,h,w,(V-1)C]
         stacked = jnp.stack(per_view, axis=1)                      # [B,V,h,w,(V-1)C]
+        if feat_dtype is not None and jnp.dtype(feat_dtype) == jnp.int8:
+            amax = jnp.max(jnp.abs(stacked), axis=(2, 3), keepdims=True)
+            scale = jnp.maximum(amax, 1e-12) / 127.0               # [B,V,1,1,C']
+            stacked = jnp.clip(jnp.round(stacked / scale), -127, 127) \
+                .astype(jnp.int8)
+            view_scales.append(scale[:, :, 0, 0])                  # [B,V,C']
+        else:
+            if feat_dtype is not None:
+                stacked = stacked.astype(feat_dtype)
+            view_scales.append(None)
         packed = pack_2x2(stacked.reshape(B * n_views, h, w, -1))
         view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
     packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
         .reshape(B, V, H, W, 12)
-    return {"view_feats": view_feats, "colors": packed_colors}
+    return {"view_feats": view_feats, "view_feat_scales": view_scales,
+            "colors": packed_colors}
 
 
 def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
@@ -138,7 +155,8 @@ def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
 
 def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     pair_feats: List[jnp.ndarray], img_h: int, img_w: int,
-                    tables: Optional[dict] = None, fused_cosine: bool = False):
+                    tables: Optional[dict] = None, fused_cosine: bool = False,
+                    banded_kt: Optional[tuple] = None):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -196,8 +214,20 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     pairs=pairs)
                 feat_chunks.append(cosv.reshape(1, *pts_3d.shape[1:3], G))
                 continue
-            sampled = [grid_sample_2d_packed(vfeats[:, v], grids[v])
-                       for v in range(V)]                          # [B,R,S,(V-1)C]
+            scales = (tables.get("view_feat_scales") or [None] * 2)[scale_idx]
+            kt = banded_kt[scale_idx] if banded_kt is not None else None
+            if kt is not None:
+                from ..ops.banded_gather import banded_sample_packed
+                sampled = [banded_sample_packed(
+                    vfeats[:, v], grids[v], kt,
+                    dequant_scale=None if scales is None else scales[:, v])
+                    for v in range(V)]                             # [B,R,S,(V-1)C]
+            else:
+                sampled = [grid_sample_2d_packed(vfeats[:, v], grids[v])
+                           for v in range(V)]                      # [B,R,S,(V-1)C]
+                if scales is not None:
+                    sampled = [s * scales[:, v][:, None, None, :].astype(s.dtype)
+                               for v, s in enumerate(sampled)]
             per_pair = []
             for (i_idx, j_idx) in pairs:
                 ca = j_idx - 1
@@ -227,7 +257,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
                 img_h: int, img_w: int, rng: Optional[jax.Array] = None,
                 stratified: bool = False, setbg_opaque: bool = False,
-                tables: Optional[dict] = None, fused_cosine: bool = False):
+                tables: Optional[dict] = None, fused_cosine: bool = False,
+                banded_kt: Optional[tuple] = None):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -242,7 +273,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
 
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
-        img_h, img_w, tables=tables, fused_cosine=fused_cosine)
+        img_h, img_w, tables=tables, fused_cosine=fused_cosine,
+        banded_kt=banded_kt)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

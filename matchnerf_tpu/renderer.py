@@ -27,10 +27,28 @@ from .utils import DotDict, log
 
 def cond_sample_dtype(cfg):
     """dtype for the packed sampling tables: bf16 halves gather traffic with
-    ~1e-3 relative sampling error; f32 for strict parity runs."""
+    ~1e-3 relative sampling error (measured 79.8 dB vs f32 at DTU shapes);
+    int8 halves it again via per-channel abs-max quantization; f32 for strict
+    parity runs."""
     prec = cfg.get("precision") or {}
     name = prec.get("cond_sample_dtype", "bfloat16") if hasattr(prec, "get") else "bfloat16"
-    return jnp.bfloat16 if str(name) in ("bf16", "bfloat16") else jnp.float32
+    name = str(name)
+    if name in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if name == "int8":
+        return jnp.int8
+    return jnp.float32
+
+
+def banded_gather_enabled(cfg):
+    """Run-length-deduped tap gathers (ops/banded_gather.py). Numerically
+    exact, but measured a wash on v5e (one-hot expansion traffic offsets the
+    gather savings: 207->220 ms/slice at Kt=48) — default OFF until a
+    folded-weights Pallas variant lands."""
+    prec = cfg.get("precision") or {}
+    if not hasattr(prec, "get"):
+        return False
+    return bool(prec.get("banded_gather", False))
 
 
 def extract_poses(batch: Dict) -> Dict:
@@ -99,8 +117,7 @@ class Renderer:
 
             @jax.jit
             def _prep(imgs, feats):
-                feats = [f.astype(dt) for f in feats]
-                return prepare_sampling_tables(cfg, feats, imgs)
+                return prepare_sampling_tables(cfg, feats, imgs, feat_dtype=dt)
 
             self._tables_jit = _prep
         return self._tables_jit(ref_images, pair_feats)
@@ -155,11 +172,12 @@ class Renderer:
                   jnp.asarray(poses["ref"]["near_fars"]),
                   ref_images, pair_feats, tables, rng)
 
-    def _get_multislice_fn(self, img_h: int, img_w: int, setbg: bool, G: int):
+    def _get_multislice_fn(self, img_h: int, img_w: int, setbg: bool, G: int,
+                           banded_kt=None):
         """Jitted scan over G sub-slices per dispatch: keeps per-step memory
         at one slice while amortizing the per-dispatch overhead (the TPU
         relay charges ~30ms per call)."""
-        key = ("multi", img_h, img_w, setbg, G)
+        key = ("multi", img_h, img_w, setbg, G, banded_kt)
         if key not in self._render_jit:
             cfg = self.cfg
             prec = cfg.get("precision") or {}
@@ -178,13 +196,71 @@ class Renderer:
                                       ref_images, pair_feats,
                                       img_h=img_h, img_w=img_w,
                                       setbg_opaque=setbg, tables=tables,
-                                      fused_cosine=fused)
+                                      fused_cosine=fused, banded_kt=banded_kt)
                     return (), out
                 _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
                 return outs
 
             self._render_jit[key] = _render_groups
         return self._render_jit[key]
+
+    def _banded_kt(self, poses, tgt, tables, img_h: int, img_w: int):
+        """Per-scale banded-gather Kt buckets for this target pose, or None.
+
+        Host decision, once per (image set, target pose): project each target
+        pixel's near/far depth endpoints into every source view. For points
+        in front of a camera (z>0) the projected pixel path over depth is
+        monotone, so per-ray distinct cells <= |dx|+|dy|+1 from the endpoint
+        cells alone (ops/banded_gather.py). Numpy replica of the device math;
+        the bucket margin absorbs f32 drift."""
+        from .ops.banded_gather import banded_bound_from_endpoints, bucket_kt
+
+        cfg = self.cfg
+        if tables is None or not banded_gather_enabled(cfg):
+            return None
+        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
+        if c2w.shape[0] != 1:
+            return None                              # batched eval: direct path
+        S = int(cfg.nerf.sample_intvs)
+        grid = np.asarray(camera.pixel_grid(img_h, img_w,
+                                            legacy=cfg.nerf.legacy_coord))
+        hom = np.concatenate([grid, np.ones((grid.shape[0], 1), np.float32)], -1)
+        intr_t = np.asarray(tgt["intrinsics"])[0]
+        dirs = hom @ np.linalg.inv(intr_t).T @ c2w[0, :, :3].T     # [HW,3]
+        center = c2w[0, :, 3]
+        nf = np.asarray(tgt["near_fars"]).reshape(-1)[:2]
+        dvals = nf.astype(np.float64)
+        if cfg.nerf.depth.param == "inverse":
+            dvals = 1.0 / (dvals + 1e-8)
+        pts = center[None, None] + dirs[:, None] * dvals[None, :, None]  # [HW,2,3]
+
+        ref_w2c = np.asarray(poses["ref"]["extrinsics"])[0]        # [V,3,4]
+        ref_intr = np.asarray(poses["ref"]["intrinsics"])[0]       # [V,3,3]
+        kts = []
+        for scale_idx, vfeats in enumerate(tables["view_feats"]):
+            h, w = vfeats.shape[2], vfeats.shape[3]
+            bound = 1
+            safe = True
+            for v in range(ref_w2c.shape[0]):
+                p_ref = pts.reshape(-1, 3) @ ref_w2c[v, :, :3].T + ref_w2c[v, :, 3]
+                pix = p_ref @ ref_intr[v].T
+                z = pix[:, 2]
+                safe = safe and bool((z > 1e-6).all())
+                if not safe:
+                    break
+                ndc = pix[:, :2] / z[:, None] / np.array(
+                    [img_w - 1, img_h - 1], np.float64)
+                xs = np.clip(ndc[:, 0] * (w - 1), 0, w - 1)
+                ys = np.clip(ndc[:, 1] * (h - 1), 0, h - 1)
+                cells = (np.floor(ys).astype(np.int64) * w
+                         + np.floor(xs).astype(np.int64)).reshape(-1, 2)
+                b, _ = banded_bound_from_endpoints(cells[:, 0], cells[:, 1],
+                                                   np.ones(1, bool), w)
+                bound = max(bound, b)
+            kts.append(bucket_kt(bound, S) if safe else None)
+        if all(k is None for k in kts):
+            return None
+        return tuple(kts)
 
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
@@ -219,7 +295,9 @@ class Renderer:
 
         tgt = tgt_override or poses["tgt"]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
-        fn = self._get_multislice_fn(img_h, img_w, self.nerf_setbg_opaque, G)
+        banded_kt = self._banded_kt(poses, tgt, tables, img_h, img_w)
+        fn = self._get_multislice_fn(img_h, img_w, self.nerf_setbg_opaque, G,
+                                     banded_kt=banded_kt)
 
         outs: Dict[str, list] = {}
         for gi in range(pix_all.shape[0]):

@@ -74,9 +74,8 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None):
     pair_feats = encode(params, cfg, ref_images)
     tables = None
     if tables_dtype is not None:
-        feats_t = [f.astype(tables_dtype) for f in pair_feats]
-        tables = jax.jit(lambda fs, im: prepare_sampling_tables(cfg, fs, im))(
-            feats_t, ref_images)
+        tables = jax.jit(lambda fs, im: prepare_sampling_tables(
+            cfg, fs, im, feat_dtype=tables_dtype))(pair_feats, ref_images)
     c2w = camera.pose_inverse_legacy_np(batch["extrinsics"][:, -1, :3, :])
     return render_rays(
         params, cfg, jnp.asarray(pix),

@@ -26,6 +26,14 @@ def main():
                         help="use 2x2-packed sampling tables")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused Pallas interp+cosine kernel")
+    parser.add_argument("--enc_dtype", type=str, default="float32",
+                        help="encoder compute dtype (mixed-precision policy)")
+    parser.add_argument("--banded_kt", type=int, default=0,
+                        help="banded-gather taps/ray for render/cond stages "
+                             "(0 = direct gather; timing-only, skips the "
+                             "host bound check)")
+    parser.add_argument("--remat", action="store_true",
+                        help="remat encoder transformer layers")
     args = parser.parse_args()
 
     import jax
@@ -38,7 +46,15 @@ def main():
                                                 query_cond_info, render_rays,
                                                 sample_depth)
 
+    from matchnerf_tpu.utils import DotDict
+
     cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
+    cfg.precision = DotDict({
+        "cond_sample_dtype": args.feat_dtype,
+        "encoder_compute_dtype": args.enc_dtype,
+        "remat_encoder": bool(args.remat),
+        "fused_cosine": bool(args.fused),
+    })
     B, H, W, R = 1, 512, 640, args.rays
     K = args.iters
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
@@ -53,11 +69,14 @@ def main():
 
     feat_dtype = jnp.dtype(args.feat_dtype)
     enc_fn = jax.jit(lambda p, x: encode(p, cfg, x))
-    feats = [f.astype(feat_dtype) for f in enc_fn(params, ref)]
+    feats_f32 = enc_fn(params, ref)
+    feats = [f.astype(feat_dtype if feat_dtype != jnp.int8 else jnp.float32)
+             for f in feats_f32]
     tables = None
     if args.packed:
         from matchnerf_tpu.models.matchnerf import prepare_sampling_tables
-        tables = jax.jit(lambda fs, im: prepare_sampling_tables(cfg, fs, im))(feats, ref)
+        tables = jax.jit(lambda fs, im: prepare_sampling_tables(
+            cfg, fs, im, feat_dtype=feat_dtype))(feats_f32, ref)
 
     def scan_time(name, body):
         # feats/tables passed as explicit operands so they don't get baked
@@ -81,12 +100,15 @@ def main():
 
     stages = args.stages.split(",")
 
+    banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+
     def full_render(pix_xy, params, feats, tables):
         out = render_rays(params, cfg, pix_xy, tgt_intr=intr[:, -1], tgt_c2w=tgt_c2w,
                           tgt_near_far=nf[:, -1], ref_w2c=poses[:, :-1, :3, :],
                           ref_intr=intr[:, :-1], ref_near_far=nf[:, :-1],
                           ref_images=ref, pair_feats=feats, img_h=H, img_w=W,
-                          tables=tables, fused_cosine=args.fused)
+                          tables=tables, fused_cosine=args.fused,
+                          banded_kt=banded_kt)
         return out["rgb"].reshape(-1, 3)[:4]
 
     def pts_of(pix_xy):
@@ -98,7 +120,8 @@ def main():
         pts, _, _ = pts_of(pix_xy)
         cond, ndc0 = query_cond_info(cfg, pts, poses[:, :-1, :3, :], intr[:, :-1],
                                      nf[:, :-1], ref, feats, H, W, tables=tables,
-                                     fused_cosine=args.fused)
+                                     fused_cosine=args.fused,
+                                     banded_kt=banded_kt)
         return (cond["feat_info"].sum() + cond["color_info"].sum()
                 + ndc0.sum()).reshape(1, 1) * jnp.ones((4, 3))
 
@@ -123,6 +146,37 @@ def main():
         scale = 1.0 + 1e-30 * pix_xy[0, 0, 0]
         fs = encode(params, cfg, ref * scale)
         return fs[0].reshape(-1)[:12].reshape(4, 3)
+
+    if "train" in stages:
+        import functools
+
+        from matchnerf_tpu.train_step import build_optimizer, make_train_step
+
+        tx, _ = build_optimizer(cfg, total_steps=1000)
+        step = make_train_step(cfg, tx, H, W, n_rays=1024)
+        opt0 = tx.init(params)
+        batch = {"images": images, "extrinsics": poses, "intrinsics": intr,
+                 "near_fars": nf, "tgt_c2w": tgt_c2w}
+        rng0 = jax.random.PRNGKey(0)
+
+        @functools.partial(jax.jit, static_argnums=0)
+        def run_train(K, params0, opt_state0, batch):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step(p, o, batch, rng0)
+                return (p, o), loss["all"]
+            (_, _), losses = jax.lax.scan(body, (params0, opt_state0), None,
+                                          length=K)
+            return losses
+
+        K1, K2 = 2, 5
+        np.asarray(run_train(K1, params, opt0, batch))
+        np.asarray(run_train(K2, params, opt0, batch))
+        t0 = time.time(); np.asarray(run_train(K1, params, opt0, batch)); t1 = time.time()
+        t2 = time.time(); np.asarray(run_train(K2, params, opt0, batch)); t3 = time.time()
+        dt = ((t3 - t2) - (t1 - t0)) / (K2 - K1)
+        print(f"{'train_step':12s} {dt*1000:8.1f} ms/iter   "
+              f"(enc_dtype={args.enc_dtype}, remat={args.remat})", flush=True)
 
     if "render" in stages:
         scan_time("render", full_render)

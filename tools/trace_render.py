@@ -1,0 +1,112 @@
+"""Capture an XLA device trace of one render slice and print the per-op cost
+breakdown (ground truth for where the 200ms goes — relay host timing can't
+attribute anything).
+
+Usage: python tools/trace_render.py [--feat_dtype bfloat16] [--banded_kt 0]
+       [--top 30]
+"""
+import argparse
+import glob
+import gzip
+import json
+import os
+import shutil
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def parse_xplane(logdir):
+    """Extract (op_name -> total_ns) from the trace's trace.json.gz if
+    present, else from xplane.pb via tensorflow (unavailable) — fall back to
+    perfetto json."""
+    files = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                      recursive=True)
+    if not files:
+        return None
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    totals = defaultdict(float)
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") != "X":
+            continue
+        # device lanes only (TensorCore); skip host threads
+        name = ev.get("name", "")
+        dur = ev.get("dur", 0)  # microseconds
+        pid_name = ev.get("pid")
+        totals[name] += dur
+    return totals
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--feat_dtype", type=str, default="bfloat16")
+    parser.add_argument("--banded_kt", type=int, default=0)
+    parser.add_argument("--top", type=int, default=40)
+    parser.add_argument("--rays", type=int, default=8192)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import (encode, init_matchnerf,
+                                                prepare_sampling_tables,
+                                                render_rays)
+
+    cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
+    B, H, W, R = 1, 512, 640, args.rays
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, B, H, W, R)
+    images = jnp.asarray(d["images"])
+    ref = images[:, :3]
+    poses = jnp.asarray(d["poses"])
+    intr = jnp.asarray(d["intr"])
+    nf = jnp.asarray(d["near_fars"])
+    tgt_c2w = jnp.asarray(d["tgt_c2w"])
+    pix = jnp.asarray(d["pix"])
+
+    feat_dtype = jnp.dtype(args.feat_dtype)
+    feats = jax.jit(lambda p, x: encode(p, cfg, x))(params, ref)
+    tables = jax.jit(lambda fs, im: prepare_sampling_tables(
+        cfg, fs, im, feat_dtype=feat_dtype))(feats, ref)
+    banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+
+    @jax.jit
+    def run(pix_xy, params, tables):
+        def step(carry, _):
+            out = render_rays(params, cfg, carry, tgt_intr=intr[:, -1],
+                              tgt_c2w=tgt_c2w, tgt_near_far=nf[:, -1],
+                              ref_w2c=poses[:, :-1, :3, :], ref_intr=intr[:, :-1],
+                              ref_near_far=nf[:, :-1], ref_images=ref,
+                              pair_feats=None, tables=tables,
+                              img_h=H, img_w=W, banded_kt=banded_kt)["rgb"]
+            return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
+        carry, _ = jax.lax.scan(step, pix_xy, None, length=4)
+        return carry
+
+    np.asarray(run(pix, params, tables))     # compile + warm
+
+    logdir = "/tmp/xla_trace_render"
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    np.asarray(run(pix, params, tables))
+    jax.profiler.stop_trace()
+
+    totals = parse_xplane(logdir)
+    if totals is None:
+        print("no trace.json.gz produced; files:",
+              glob.glob(os.path.join(logdir, "**", "*"), recursive=True))
+        return
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    grand = sum(v for _, v in items)
+    print(f"total traced op-time: {grand/1000:.1f} ms (4 iterations)")
+    for name, us in items[: args.top]:
+        print(f"{us/1000:9.2f} ms  {100*us/grand:5.1f}%  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
