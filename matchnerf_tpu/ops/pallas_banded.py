@@ -1,0 +1,224 @@
+"""Banded-gather + interpolation + grouped-cosine Pallas megakernel (TPU).
+
+The conditional-feature query (reference: models/matchnerf.py:209-293, 48x
+`F.grid_sample`) is the render bottleneck: per (ray, sample, view, scale) it
+gathers a 4C-channel packed row — ~6 GB of HBM reads per 8192-ray slice, at
+the TPU's random-gather rate (~40-70 GB/s effective, tools/bench_gather.py).
+
+Along a ray, consecutive depth samples project onto a monotone epipolar
+segment, so the ≤S gathered cells collapse to ≤Kt distinct runs (Kt ~ 16-64
+at DTU shapes vs S=128). `ops/banded_gather.py` exploits that in pure XLA but
+measured a wash: the one-hot run→sample expansion materializes [R,S,4C]
+intermediates (~2 GB/view/scale) in HBM, refunding the gather savings.
+
+This kernel keeps the expansion in VMEM:
+
+  XLA:    dedup cells -> taps[R,Kt], coherent gather rows[R,4Kt,C] (3-4x
+          faster than the random gather: tools/bench_gather.py sweep D/G)
+  Pallas: one-hot-with-folded-bilinear-weights matmul  W[S,4Kt] @ rows[4Kt,C]
+          on the MXU (exact: each output row is a convex combo of exactly the
+          four taps the direct path uses), int8 dequant, grouped cosine —
+          all VMEM-resident; only the [R,S,G] cosine leaves the chip memory.
+
+Numerics: the tap selection is exact (single-1 one-hot). The bilinear weights
+are folded as w00=(1-wx)(1-wy) etc. — algebraically equal to the direct
+path's nested form, within float rounding. With bf16/int8 tables the matmul
+runs in bf16 (weights rounded to bf16, ~2^-9 relative — below the table
+quantization error); with f32 tables it runs in f32.
+
+Forward-only: the renderer's eval/video paths use it; training keeps the
+differentiable XLA path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .grid_sample import _unnormalize
+
+
+def _cells_ranks_weights(grid, H: int, W: int, kt: int,
+                         align_corners: bool = True):
+    """Per-view cell dedup (same math as banded_gather._cells_and_weights /
+    banded_sample_packed). grid: [R,S,2] -> (taps [R,kt] int32,
+    rank [R,S] int32, wvals [R,S,4] f32)."""
+    x = jnp.clip(_unnormalize(grid[..., 0], W, align_corners), 0.0, W - 1.0)
+    y = jnp.clip(_unnormalize(grid[..., 1], H, align_corners), 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    cell = y0.astype(jnp.int32) * W + x0.astype(jnp.int32)        # [R,S]
+
+    change = cell[:, 1:] != cell[:, :-1]
+    rank = jnp.concatenate(
+        [jnp.zeros((cell.shape[0], 1), jnp.int32),
+         jnp.cumsum(change.astype(jnp.int32), axis=-1)], axis=-1)  # [R,S]
+    rank = jnp.minimum(rank, kt - 1)
+
+    # masked max-reduce instead of a scatter (TPU scatters serialize); cells
+    # are >= 0 so empty slots reduce to row 0 (gathered but never selected)
+    onehot_k = rank[:, :, None] == jnp.arange(kt)[None, None, :]   # [R,S,kt]
+    taps = jnp.max(jnp.where(onehot_k, cell[:, :, None], 0), axis=1)  # [R,kt]
+    wvals = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
+                       (1 - wx) * wy, wx * wy], axis=-1)           # [R,S,4]
+    return taps, rank, wvals
+
+
+def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
+                          *, V: int, S: int, kt: int, Cc: int, chunk_c: int,
+                          n_groups: int, pairs, block_rays: int,
+                          compute_dtype):
+    """Transposed layout: the sample axis S rides the 128-lane dimension
+    everywhere, so per-sample scalars broadcast naturally and every matmul is
+    MXU-shaped.
+
+    rows_ref: (V,BR,4kt,Cc); rank_ref: (V,BR,1,S) i32; wv_ref: (V,BR,4,S);
+    scale_ref: (V,Cc,1) f32; out_ref: (BR,G,S) f32. The interp matmul
+    contracts the leading (sublane) dim of both operands (A^T B — native on
+    the MXU), so no transposes are needed anywhere."""
+    kt4 = 4 * kt
+    Cg = chunk_c // n_groups
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (kt4, S), 0)
+    k_of_j = j_iota // 4
+    t_of_j = j_iota % 4
+    # group-selection matrix: (G, chunk_c) 0/1 — the (misaligned, Cg-wide)
+    # per-group reductions become one aligned MXU matmul over sublanes
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 1)
+    sel = (c_iota // Cg == g_iota).astype(jnp.float32)             # (G,chunk)
+
+    for b in range(block_rays):
+        interp = []
+        for v in range(V):
+            rank_b = rank_ref[v, b]                                # (1,S) i32
+            wv_b = wv_ref[v, b]                                    # (4,S) f32
+            onehot = (k_of_j == rank_b).astype(jnp.float32)        # (4kt,S)
+            wsel = ((t_of_j == 0).astype(jnp.float32) * wv_b[0:1]
+                    + (t_of_j == 1).astype(jnp.float32) * wv_b[1:2]
+                    + (t_of_j == 2).astype(jnp.float32) * wv_b[2:3]
+                    + (t_of_j == 3).astype(jnp.float32) * wv_b[3:4])
+            WmT = (onehot * wsel).astype(compute_dtype)            # (4kt,S)
+            rows_b = rows_ref[v, b].astype(compute_dtype)          # (4kt,Cc)
+            acc = jax.lax.dot_general(
+                rows_b, WmT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (Cc,S)
+            acc = acc * scale_ref[v]
+            interp.append(acc)
+
+        acc_pairs = None
+        for (i, j) in pairs:
+            ca, cb = j - 1, i
+            fa = interp[i][ca * chunk_c:(ca + 1) * chunk_c]        # (chunk,S)
+            fb = interp[j][cb * chunk_c:(cb + 1) * chunk_c]
+            dots = jnp.dot(sel, fa * fb, preferred_element_type=jnp.float32)
+            na2 = jnp.dot(sel, fa * fa, preferred_element_type=jnp.float32)
+            nb2 = jnp.dot(sel, fb * fb, preferred_element_type=jnp.float32)
+            na = jnp.maximum(jnp.sqrt(na2), 1e-8)                  # (G,S)
+            nb = jnp.maximum(jnp.sqrt(nb2), 1e-8)
+            cosg = dots / (na * nb)
+            acc_pairs = cosg if acc_pairs is None else acc_pairs + cosg
+        out_ref[b] = acc_pairs / len(pairs)                        # (G,S)
+
+
+def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
+                         n_groups: int, pairs: List[Tuple[int, int]],
+                         block_rays: int = 8,
+                         interpret: Optional[bool] = None):
+    """rows: [V,R,4kt,Cc] tap rows (int8/bf16/f32); rank: [V,R,S] int32 run
+    ranks; wvals: [V,R,S,4] f32 bilinear tap weights; scales: [V,Cc] f32
+    post-interp dequant (ones unless int8). Returns [R,S,G] f32 pair-mean
+    grouped cosine (matchnerf.py:262-271 semantics)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    V, R, kt4, Cc = rows.shape
+    S = rank.shape[-1]
+    kt = kt4 // 4
+    compute_dtype = jnp.float32 if rows.dtype == jnp.float32 else jnp.bfloat16
+
+    pad = (-R) % block_rays
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rank = jnp.pad(rank, ((0, 0), (0, pad), (0, 0)))
+        wvals = jnp.pad(wvals, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Rp = R + pad
+
+    # lane-major staging: S on the last (lane) axis for per-sample data;
+    # rows keep their gathered layout (the kernel contracts their sublane dim)
+    rankT = rank[:, :, None, :]                                    # [V,Rp,1,S]
+    wvT = jnp.swapaxes(wvals, -1, -2)                              # [V,Rp,4,S]
+
+    kernel = functools.partial(
+        _banded_cosine_kernel, V=V, S=S, kt=kt, Cc=Cc, chunk_c=chunk_c,
+        n_groups=n_groups, pairs=pairs, block_rays=block_rays,
+        compute_dtype=compute_dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, n_groups, S), jnp.float32),
+        grid=(Rp // block_rays,),
+        in_specs=[
+            pl.BlockSpec((V, block_rays, kt4, Cc), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, block_rays, 1, S), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, block_rays, 4, S), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((V, Cc, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rays, n_groups, S), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rows, rankT, wvT, scales[:, :, None])
+    return jnp.swapaxes(out[:R], -1, -2)                           # [R,S,G]
+
+
+def banded_cosine_scale(vfeats, grids, kt: int, n_groups: int,
+                        pairs: List[Tuple[int, int]],
+                        dequant_scales=None, block_rays: int = 8,
+                        interpret: Optional[bool] = None):
+    """Full per-scale banded cosine query: dedup + coherent gather (XLA) then
+    the VMEM interp+cosine kernel.
+
+    vfeats: [1,V,h,w,4Cc] packed per-view tables (prepare_sampling_tables);
+    grids: [V,1,R,S,2] normalized sample coords; dequant_scales: [1,V,Cc] or
+    None. Returns [1,R,S,G] f32.
+    """
+    _, V, H, W, C4 = vfeats.shape
+    Cc = C4 // 4
+    chunk_c = Cc // (V - 1)
+    _, _, R, S, _ = grids.shape
+
+    taps_l, rank_l, wv_l = [], [], []
+    for v in range(V):
+        taps, rank, wvals = _cells_ranks_weights(grids[v, 0], H, W, kt)
+        taps_l.append(taps)
+        rank_l.append(rank)
+        wv_l.append(wvals)
+    taps = jnp.stack(taps_l)                                       # [V,R,kt]
+    rank = jnp.stack(rank_l)                                       # [V,R,S]
+    wvals = jnp.stack(wv_l)                                        # [V,R,S,4]
+
+    flat = vfeats[0].reshape(V, H * W, C4)
+    rows = jnp.take_along_axis(
+        flat, taps.reshape(V, R * kt)[..., None], axis=1,
+        mode="promise_in_bounds")                                  # [V,R*kt,4Cc]
+    # packed channel layout is tap-major ([t00 C, t01 C, t10 C, t11 C]) so a
+    # reshape re-expresses the row as 4 tap rows of Cc channels
+    rows = rows.reshape(V, R, kt * 4, Cc)
+
+    if dequant_scales is None:
+        scales = jnp.ones((V, Cc), jnp.float32)
+    else:
+        scales = dequant_scales.reshape(V, Cc).astype(jnp.float32)
+
+    out = banded_interp_cosine(rows, rank, wvals, scales, chunk_c=chunk_c,
+                               n_groups=n_groups, pairs=pairs,
+                               block_rays=block_rays, interpret=interpret)
+    return out[None]                                               # [1,R,S,G]

@@ -40,15 +40,35 @@ def cond_sample_dtype(cfg):
     return jnp.float32
 
 
-def banded_gather_enabled(cfg):
-    """Run-length-deduped tap gathers (ops/banded_gather.py). Numerically
-    exact, but measured a wash on v5e (one-hot expansion traffic offsets the
-    gather savings: 207->220 ms/slice at Kt=48) — default OFF until a
-    folded-weights Pallas variant lands."""
+def color_sample_dtype(cfg):
+    """dtype for the packed color table: uint8 stores round(img*255) — exact
+    for the 8-bit source datasets and ~4x faster to gather (the 640x512x12
+    u8 table stays VMEM-resident); f32 for strict parity on float inputs."""
+    prec = cfg.get("precision") or {}
+    name = prec.get("color_sample_dtype", "float32") if hasattr(prec, "get") else "float32"
+    if str(name) in ("u8", "uint8"):
+        return jnp.uint8
+    return None
+
+
+def banded_impl(cfg) -> Optional[str]:
+    """Which run-length-deduped ("banded") cond-query path to use, if any.
+
+    - 'pallas' (precision.banded_kernel): dedup gather + VMEM-fused
+      interp+cosine megakernel (ops/pallas_banded.py)
+    - 'xla' (precision.banded_gather): pure-XLA dedup + one-hot expansion
+      (ops/banded_gather.py) — numerically exact but measured a wash on v5e
+      (the expansion materializes [R,S,4C] in HBM); kept for parity testing
+    - None: direct packed gathers
+    """
     prec = cfg.get("precision") or {}
     if not hasattr(prec, "get"):
-        return False
-    return bool(prec.get("banded_gather", False))
+        return None
+    if bool(prec.get("banded_kernel", False)):
+        return "pallas"
+    if bool(prec.get("banded_gather", False)):
+        return "xla"
+    return None
 
 
 def extract_poses(batch: Dict) -> Dict:
@@ -114,10 +134,12 @@ class Renderer:
         if not hasattr(self, "_tables_jit") or self._tables_jit is None:
             cfg = self.cfg
             dt = cond_sample_dtype(cfg)
+            cdt = color_sample_dtype(cfg)
 
             @jax.jit
             def _prep(imgs, feats):
-                return prepare_sampling_tables(cfg, feats, imgs, feat_dtype=dt)
+                return prepare_sampling_tables(cfg, feats, imgs, feat_dtype=dt,
+                                               color_dtype=cdt)
 
             self._tables_jit = _prep
         return self._tables_jit(ref_images, pair_feats)
@@ -177,7 +199,8 @@ class Renderer:
         """Jitted scan over G sub-slices per dispatch: keeps per-step memory
         at one slice while amortizing the per-dispatch overhead (the TPU
         relay charges ~30ms per call)."""
-        key = ("multi", img_h, img_w, setbg, G, banded_kt)
+        impl = banded_impl(self.cfg) or "xla"
+        key = ("multi", img_h, img_w, setbg, G, banded_kt, impl)
         if key not in self._render_jit:
             cfg = self.cfg
             prec = cfg.get("precision") or {}
@@ -196,7 +219,8 @@ class Renderer:
                                       ref_images, pair_feats,
                                       img_h=img_h, img_w=img_w,
                                       setbg_opaque=setbg, tables=tables,
-                                      fused_cosine=fused, banded_kt=banded_kt)
+                                      fused_cosine=fused, banded_kt=banded_kt,
+                                      banded_impl=impl)
                     return (), out
                 _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
                 return outs
@@ -216,8 +240,11 @@ class Renderer:
         from .ops.banded_gather import banded_bound_from_endpoints, bucket_kt
 
         cfg = self.cfg
-        if tables is None or not banded_gather_enabled(cfg):
+        if tables is None or banded_impl(cfg) is None:
             return None
+        if self.mesh is not None and banded_impl(cfg) == "pallas":
+            return None        # pallas_call auto-partitioning unverified; the
+            # sharded eval path keeps the direct gathers
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
         if c2w.shape[0] != 1:
             return None                              # batched eval: direct path

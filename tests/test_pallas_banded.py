@@ -1,0 +1,134 @@
+"""Parity tests for the banded interp+cosine Pallas megakernel
+(ops/pallas_banded.py) against the direct packed-gather path.
+
+Runs in interpreter mode on the CPU backend (conftest forces cpu); the
+numerics it checks are the ones the TPU build uses, modulo MXU rounding.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from matchnerf_tpu.models.gmflow.gmflow import pair_index_lists
+from matchnerf_tpu.models.matchnerf import _grouped_cosine, query_cond_info
+from matchnerf_tpu.ops.grid_sample import grid_sample_2d_packed, pack_2x2
+from matchnerf_tpu.ops.pallas_banded import banded_cosine_scale
+
+
+def _coherent_grids(rng, V, R, S):
+    """Monotone straight segments per ray (the epipolar structure the banded
+    path relies on)."""
+    starts = rng.uniform(-0.9, 0.3, (V, R, 2))
+    ends = starts + rng.uniform(0.05, 0.5, (V, R, 2))
+    t = np.linspace(0, 1, S)[None, None, :, None]
+    grids = starts[:, :, None, :] * (1 - t) + ends[:, :, None, :] * t
+    return jnp.asarray(grids.astype(np.float32))[:, None]          # [V,1,R,S,2]
+
+
+def _reference_cosine(vfeats, grids, C, G, pairs, scales=None):
+    V = vfeats.shape[1]
+    sampled = []
+    for v in range(V):
+        s = grid_sample_2d_packed(vfeats[:, v], grids[v]).astype(jnp.float32)
+        if scales is not None:
+            s = s * scales[:, v][:, None, None, :]
+        sampled.append(s)
+    per_pair = []
+    for (i, j) in pairs:
+        ca, cb = j - 1, i
+        fa = sampled[i][..., ca * C:(ca + 1) * C]
+        fb = sampled[j][..., cb * C:(cb + 1) * C]
+        per_pair.append(_grouped_cosine(fa, fb, G))
+    return jnp.stack(per_pair, 0).mean(0)
+
+
+def test_banded_kernel_f32_matches_direct():
+    rng = np.random.default_rng(0)
+    V, H, W, C = 3, 32, 40, 16
+    R, S, G = 24, 32, 4
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    ref = _reference_cosine(packed, grids, C, G, pairs)
+    out = banded_cosine_scale(packed, grids, kt=48, n_groups=G, pairs=pairs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_banded_kernel_int8_dequant():
+    rng = np.random.default_rng(1)
+    V, H, W, C = 3, 24, 24, 16
+    R, S, G = 16, 32, 2
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    amax = np.abs(feat).max(axis=(1, 2), keepdims=True)
+    scale = np.maximum(amax, 1e-12) / 127.0
+    q = np.clip(np.round(feat / scale), -127, 127).astype(np.int8)
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(q))[None]
+    scales = jnp.asarray(scale[:, 0, 0])[None]                      # [1,V,Cc]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    ref = _reference_cosine(packed, grids, C, G, pairs, scales=scales)
+    out = banded_cosine_scale(packed, grids, kt=48, n_groups=G, pairs=pairs,
+                              dequant_scales=scales)
+    # bf16 matmul weights: ~2^-9 relative on the folded bilinear weights
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
+def test_banded_kernel_ragged_ray_padding():
+    """R not divisible by block_rays pads and truncates correctly."""
+    rng = np.random.default_rng(2)
+    V, H, W, C = 3, 16, 16, 8
+    R, S, G = 11, 16, 2
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    ref = _reference_cosine(packed, grids, C, G, pairs)
+    out = banded_cosine_scale(packed, grids, kt=32, n_groups=G, pairs=pairs,
+                              block_rays=8)
+    assert out.shape == (1, R, S, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_render_by_slices_banded_kernel_matches_direct():
+    """End-to-end: full-image eval with precision.banded_kernel vs direct."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+    engaged = {}
+
+    def run(banded_kernel):
+        c = DotDict(dict(cfg))
+        c.precision = DotDict({"cond_sample_dtype": "float32",
+                               "banded_kernel": banded_kernel})
+        r = Renderer(c)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        if banded_kernel:
+            engaged["kt"] = r._banded_kt(poses, poses["tgt"], tables, H, W)
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_direct = run(False)
+    out_banded = run(True)
+    assert engaged["kt"] is not None and any(k for k in engaged["kt"]), \
+        f"banded path did not engage: {engaged}"
+    np.testing.assert_allclose(out_banded["rgb"], out_direct["rgb"],
+                               rtol=1e-4, atol=1e-5)

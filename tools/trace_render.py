@@ -45,6 +45,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--feat_dtype", type=str, default="bfloat16")
     parser.add_argument("--banded_kt", type=int, default=0)
+    parser.add_argument("--banded_impl", type=str, default="xla",
+                        choices=["xla", "pallas"])
+    parser.add_argument("--color_dtype", type=str, default="float32")
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--rays", type=int, default=8192)
     args = parser.parse_args()
@@ -70,9 +73,11 @@ def main():
     pix = jnp.asarray(d["pix"])
 
     feat_dtype = jnp.dtype(args.feat_dtype)
+    color_dtype = jnp.dtype(args.color_dtype) \
+        if args.color_dtype in ("uint8",) else None
     feats = jax.jit(lambda p, x: encode(p, cfg, x))(params, ref)
     tables = jax.jit(lambda fs, im: prepare_sampling_tables(
-        cfg, fs, im, feat_dtype=feat_dtype))(feats, ref)
+        cfg, fs, im, feat_dtype=feat_dtype, color_dtype=color_dtype))(feats, ref)
     banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
 
     @jax.jit
@@ -83,7 +88,8 @@ def main():
                               ref_w2c=poses[:, :-1, :3, :], ref_intr=intr[:, :-1],
                               ref_near_far=nf[:, :-1], ref_images=ref,
                               pair_feats=None, tables=tables,
-                              img_h=H, img_w=W, banded_kt=banded_kt)["rgb"]
+                              img_h=H, img_w=W, banded_kt=banded_kt,
+                              banded_impl=args.banded_impl)["rgb"]
             return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
         carry, _ = jax.lax.scan(step, pix_xy, None, length=4)
         return carry
