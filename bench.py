@@ -59,14 +59,28 @@ def main():
     ref_images = images[:, : cfg.n_src_views]
     pix = jnp.asarray(d["pix"])
 
-    # int8 sampling tables: production eval default (configs/test.yaml);
-    # measured 64 dB vs f32 at DTU shapes => ~0.001 dB implied PSNR delta
+    # production eval precision (configs/test.yaml): int8 feature tables,
+    # uint8 color tables, banded-dedup + VMEM interp+cosine megakernel,
+    # VMEM-resident decoder megakernel
     @jax.jit
     def enc(p, x):
         feats = encode(p, cfg, x)
-        return prepare_sampling_tables(cfg, feats, x, feat_dtype=jnp.int8)
+        return prepare_sampling_tables(cfg, feats, x, feat_dtype=jnp.int8,
+                                       color_dtype=jnp.uint8)
 
     tables = enc(params, ref_images)
+
+    # per-pose banded run bound, exactly as Renderer.render_by_slices does
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+    bcfg = DotDict(dict(cfg))
+    bcfg.precision = DotDict({"cond_sample_dtype": "int8",
+                              "color_sample_dtype": "uint8",
+                              "banded_kernel": True, "decoder_kernel": True})
+    pose_d = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                            "near_fars": d["near_fars"]})
+    banded_kt = Renderer(bcfg)._banded_kt(pose_d, pose_d["tgt"], tables, H, W)
+    print(f"# banded_kt={banded_kt}", file=sys.stderr)
 
     def render_slice(params, tables, pix_xy):
         return render_rays(
@@ -74,7 +88,9 @@ def main():
             tgt_intr=intr[:, -1], tgt_c2w=tgt_c2w, tgt_near_far=nf[:, -1],
             ref_w2c=poses[:, :-1, :3, :], ref_intr=intr[:, :-1],
             ref_near_far=nf[:, :-1], ref_images=ref_images,
-            pair_feats=None, tables=tables, img_h=H, img_w=W)["rgb"]
+            pair_feats=None, tables=tables, img_h=H, img_w=W,
+            banded_kt=banded_kt, banded_impl="pallas",
+            decoder_impl="pallas")["rgb"]
 
     # device-side timing: K chained render slices inside one dispatch
     # (host-side per-dispatch timing is unreliable through the TPU relay);

@@ -188,10 +188,13 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
         in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_near_far)
     grids = ndc_all[..., :2] * 2.0 - 1.0                          # [V,B,R,S,2]
 
-    # colors + masks per view (matchnerf.py:244-250)
+    # colors + masks per view (matchnerf.py:244-250); one gather per view —
+    # vmapping stacks the tables into a single 3M-index gather whose source
+    # exceeds the ~5MB VMEM-residency cliff (tools/bench_gather.py sweep H)
     if tables is not None:
-        colors = jax.vmap(lambda img, g: grid_sample_2d_packed(img, g),
-                          in_axes=(1, 0))(tables["colors"], grids)  # [V,B,R,S,3]
+        colors = jnp.stack([grid_sample_2d_packed(tables["colors"][:, v],
+                                                  grids[v])
+                            for v in range(V)], axis=0)             # [V,B,R,S,3]
         cscale = tables.get("color_scale") if hasattr(tables, "get") else None
         if cscale is not None:
             colors = colors.astype(jnp.float32) * cscale
@@ -282,7 +285,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 img_h: int, img_w: int, rng: Optional[jax.Array] = None,
                 stratified: bool = False, setbg_opaque: bool = False,
                 tables: Optional[dict] = None, fused_cosine: bool = False,
-                banded_kt: Optional[tuple] = None, banded_impl: str = "xla"):
+                banded_kt: Optional[tuple] = None, banded_impl: str = "xla",
+                decoder_impl: str = "xla"):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -309,8 +313,15 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     else:
         ray_unit_ref = None
 
-    rgb_samples, density_samples = apply_cond_nerf(
-        params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref, cond_info=cond_info)
+    if decoder_impl == "pallas" and cfg.nerf.view_dep:
+        # VMEM-resident decoder megakernel (eval path; ops/pallas_decoder.py)
+        from ..ops.pallas_decoder import cond_nerf_decode
+        rgb_samples, density_samples = cond_nerf_decode(
+            params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info)
+    else:
+        rgb_samples, density_samples = apply_cond_nerf(
+            params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref,
+            cond_info=cond_info)
 
     rgb, depth, opacity, _ = composite(cfg, ray, rgb_samples, density_samples,
                                        depth_samples, setbg_opaque=setbg_opaque)

@@ -78,15 +78,16 @@ def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
     everywhere, so per-sample scalars broadcast naturally and every matmul is
     MXU-shaped.
 
-    rows_ref: (V,BR,4kt,Cc); rank_ref: (V,BR,1,S) i32; wv_ref: (V,BR,4,S);
-    scale_ref: (V,Cc,1) f32; out_ref: (BR,G,S) f32. The interp matmul
-    contracts the leading (sublane) dim of both operands (A^T B — native on
-    the MXU), so no transposes are needed anywhere."""
-    kt4 = 4 * kt
+    rows_ref: (V,BR,kt,4Cc) — the raw gathered layout, tap-major channel
+    blocks; rank_ref: (V,BR,1,S) i32; wv_ref: (V,BR,4,S); scale_ref:
+    (V,Cc,1) f32; out_ref: (BR,G,S) f32.
+
+    The interp is four A^T B matmuls (one per bilinear tap, contracting the
+    kt sublane dim — native on the MXU) over 128-aligned channel slices of
+    the gathered rows, so neither XLA nor the kernel ever re-tiles the 1GB
+    rows array."""
     Cg = chunk_c // n_groups
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (kt4, S), 0)
-    k_of_j = j_iota // 4
-    t_of_j = j_iota % 4
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (kt, S), 0)
     # group-selection matrix: (G, chunk_c) 0/1 — the (misaligned, Cg-wide)
     # per-group reductions become one aligned MXU matmul over sublanes
     g_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 0)
@@ -98,16 +99,16 @@ def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
         for v in range(V):
             rank_b = rank_ref[v, b]                                # (1,S) i32
             wv_b = wv_ref[v, b]                                    # (4,S) f32
-            onehot = (k_of_j == rank_b).astype(jnp.float32)        # (4kt,S)
-            wsel = ((t_of_j == 0).astype(jnp.float32) * wv_b[0:1]
-                    + (t_of_j == 1).astype(jnp.float32) * wv_b[1:2]
-                    + (t_of_j == 2).astype(jnp.float32) * wv_b[2:3]
-                    + (t_of_j == 3).astype(jnp.float32) * wv_b[3:4])
-            WmT = (onehot * wsel).astype(compute_dtype)            # (4kt,S)
-            rows_b = rows_ref[v, b].astype(compute_dtype)          # (4kt,Cc)
-            acc = jax.lax.dot_general(
-                rows_b, WmT, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                # (Cc,S)
+            onehot = (k_iota == rank_b).astype(jnp.float32)        # (kt,S)
+            rows_b = rows_ref[v, b].astype(compute_dtype)          # (kt,4Cc)
+            acc = None
+            for t in range(4):
+                Wt = (onehot * wv_b[t:t + 1]).astype(compute_dtype)  # (kt,S)
+                part = jax.lax.dot_general(
+                    rows_b[:, t * Cc:(t + 1) * Cc], Wt,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)            # (Cc,S)
+                acc = part if acc is None else acc + part
             acc = acc * scale_ref[v]
             interp.append(acc)
 
@@ -130,15 +131,15 @@ def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
                          n_groups: int, pairs: List[Tuple[int, int]],
                          block_rays: int = 8,
                          interpret: Optional[bool] = None):
-    """rows: [V,R,4kt,Cc] tap rows (int8/bf16/f32); rank: [V,R,S] int32 run
-    ranks; wvals: [V,R,S,4] f32 bilinear tap weights; scales: [V,Cc] f32
-    post-interp dequant (ones unless int8). Returns [R,S,G] f32 pair-mean
-    grouped cosine (matchnerf.py:262-271 semantics)."""
+    """rows: [V,R,kt,4Cc] tap rows in the raw gathered layout (int8/bf16/
+    f32); rank: [V,R,S] int32 run ranks; wvals: [V,R,S,4] f32 bilinear tap
+    weights; scales: [V,Cc] f32 post-interp dequant (ones unless int8).
+    Returns [R,S,G] f32 pair-mean grouped cosine (matchnerf.py:262-271)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    V, R, kt4, Cc = rows.shape
+    V, R, kt, C4 = rows.shape
+    Cc = C4 // 4
     S = rank.shape[-1]
-    kt = kt4 // 4
     compute_dtype = jnp.float32 if rows.dtype == jnp.float32 else jnp.bfloat16
 
     pad = (-R) % block_rays
@@ -163,7 +164,7 @@ def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
         out_shape=jax.ShapeDtypeStruct((Rp, n_groups, S), jnp.float32),
         grid=(Rp // block_rays,),
         in_specs=[
-            pl.BlockSpec((V, block_rays, kt4, Cc), lambda i: (0, i, 0, 0),
+            pl.BlockSpec((V, block_rays, kt, C4), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((V, block_rays, 1, S), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -205,13 +206,23 @@ def banded_cosine_scale(vfeats, grids, kt: int, n_groups: int,
     rank = jnp.stack(rank_l)                                       # [V,R,S]
     wvals = jnp.stack(wv_l)                                        # [V,R,S,4]
 
-    flat = vfeats[0].reshape(V, H * W, C4)
-    rows = jnp.take_along_axis(
-        flat, taps.reshape(V, R * kt)[..., None], axis=1,
-        mode="promise_in_bounds")                                  # [V,R*kt,4Cc]
-    # packed channel layout is tap-major ([t00 C, t01 C, t10 C, t11 C]) so a
-    # reshape re-expresses the row as 4 tap rows of Cc channels
-    rows = rows.reshape(V, R, kt * 4, Cc)
+    # per-view gathers when a view's table fits the ~5MB VMEM-residency
+    # window (4x faster, tools/bench_gather.py sweep H); one batched gather
+    # otherwise. The [V,R*kt,C4] -> [V,R,kt,C4] split is layout-preserving,
+    # so no re-tiling copy happens between the gather and the kernel.
+    table_bytes = H * W * C4 * vfeats.dtype.itemsize
+    if table_bytes <= 6 * 1024 * 1024:
+        rows = jnp.stack(
+            [jnp.take_along_axis(vfeats[0, v].reshape(H * W, C4),
+                                 taps[v].reshape(R * kt)[:, None], axis=0,
+                                 mode="promise_in_bounds")
+             for v in range(V)])                                   # [V,R*kt,C4]
+    else:
+        flat = vfeats[0].reshape(V, H * W, C4)
+        rows = jnp.take_along_axis(
+            flat, taps.reshape(V, R * kt)[..., None], axis=1,
+            mode="promise_in_bounds")                              # [V,R*kt,C4]
+    rows = rows.reshape(V, R, kt, C4)
 
     if dequant_scales is None:
         scales = jnp.ones((V, Cc), jnp.float32)

@@ -71,6 +71,15 @@ def banded_impl(cfg) -> Optional[str]:
     return None
 
 
+def decoder_impl(cfg) -> str:
+    """'pallas' routes the view_dep CondNeRF through the VMEM-resident
+    decoder megakernel (ops/pallas_decoder.py) on the eval path."""
+    prec = cfg.get("precision") or {}
+    if hasattr(prec, "get") and bool(prec.get("decoder_kernel", False)):
+        return "pallas"
+    return "xla"
+
+
 def extract_poses(batch: Dict) -> Dict:
     """Split the (V+1)-view batch into target (last) and reference poses
     (models/matchnerf.py:75-86). Host-side numpy."""
@@ -200,7 +209,10 @@ class Renderer:
         at one slice while amortizing the per-dispatch overhead (the TPU
         relay charges ~30ms per call)."""
         impl = banded_impl(self.cfg) or "xla"
-        key = ("multi", img_h, img_w, setbg, G, banded_kt, impl)
+        dec_impl = decoder_impl(self.cfg)
+        if self.mesh is not None:
+            dec_impl = "xla"   # pallas_call auto-partitioning unverified
+        key = ("multi", img_h, img_w, setbg, G, banded_kt, impl, dec_impl)
         if key not in self._render_jit:
             cfg = self.cfg
             prec = cfg.get("precision") or {}
@@ -220,7 +232,7 @@ class Renderer:
                                       img_h=img_h, img_w=img_w,
                                       setbg_opaque=setbg, tables=tables,
                                       fused_cosine=fused, banded_kt=banded_kt,
-                                      banded_impl=impl)
+                                      banded_impl=impl, decoder_impl=dec_impl)
                     return (), out
                 _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
                 return outs

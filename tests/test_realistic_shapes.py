@@ -67,7 +67,8 @@ def realistic_batch(rng):
     }
 
 
-def _our_render(params, cfg, batch, pix, tables_dtype=None):
+def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
+                banded_kt=None, banded_impl="xla", decoder_impl="xla"):
     """Render the given pixel coords through the packed-table production
     path; tables_dtype None => no tables (raw 4-tap path)."""
     ref_images = jnp.asarray(batch["images"][:, :V])
@@ -75,7 +76,8 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None):
     tables = None
     if tables_dtype is not None:
         tables = jax.jit(lambda fs, im: prepare_sampling_tables(
-            cfg, fs, im, feat_dtype=tables_dtype))(pair_feats, ref_images)
+            cfg, fs, im, feat_dtype=tables_dtype,
+            color_dtype=color_dtype))(pair_feats, ref_images)
     c2w = camera.pose_inverse_legacy_np(batch["extrinsics"][:, -1, :3, :])
     return render_rays(
         params, cfg, jnp.asarray(pix),
@@ -86,7 +88,8 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None):
         ref_intr=jnp.asarray(batch["intrinsics"][:, :-1]),
         ref_near_far=jnp.asarray(batch["near_fars"][:, :-1]),
         ref_images=ref_images, pair_feats=pair_feats,
-        img_h=H, img_w=W, tables=tables)
+        img_h=H, img_w=W, tables=tables, banded_kt=banded_kt,
+        banded_impl=banded_impl, decoder_impl=decoder_impl)
 
 
 def test_oracle_parity_dtu_shapes():
@@ -166,3 +169,52 @@ def test_bf16_tables_psnr_delta_structured():
         f"bf16 tables cost too much: {psnr:.1f} dB vs f32 "
         f"(implied DTU PSNR delta {implied_delta:.3f} dB > 0.05); flip "
         "precision.cond_sample_dtype default to float32")
+
+
+def test_production_eval_stack_psnr_delta_structured():
+    """The full configs/test.yaml precision stack (int8 feature tables, u8
+    color tables, banded+VMEM cosine megakernel, decoder megakernel) vs the
+    strict-f32 path at DTU shapes. Same 46.5 dB bar as the bf16 test (0.05 dB
+    implied DTU delta)."""
+    opts = reference_opts()
+    opts.encoder.num_transformer_layers = 2
+    cfg = tpu_cfg_from_opts(opts)
+
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    batch = realistic_batch(rng)
+    # loader-faithful 8-bit images: the u8 color table is exact for these
+    batch["images"] = np.round(batch["images"] * 255.0).astype(np.float32) / 255.0
+    ray_idx = np.sort(rng.permutation(H * W)[:1024])
+    pix = np.asarray(camera.pixel_grid(H, W, legacy=True))[ray_idx][None]
+
+    # host-verified per-scale run bounds, exactly as the renderer computes
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+    bcfg = DotDict(dict(cfg))
+    bcfg.precision = DotDict({"banded_kernel": True})
+    ref_images = jnp.asarray(batch["images"][:, :V])
+    pair_feats = encode(params, cfg, ref_images)
+    tables = prepare_sampling_tables(cfg, pair_feats, ref_images,
+                                     feat_dtype=jnp.int8,
+                                     color_dtype=jnp.uint8)
+    poses = extract_poses(batch)
+    banded_kt = Renderer(bcfg)._banded_kt(poses, poses["tgt"], tables, H, W)
+    assert banded_kt is not None and all(k for k in banded_kt), banded_kt
+
+    rgb_f32 = np.asarray(
+        _our_render(params, cfg, batch, pix, tables_dtype=jnp.float32)["rgb"])
+    rgb_prod = np.asarray(
+        _our_render(params, cfg, batch, pix, tables_dtype=jnp.int8,
+                    color_dtype=jnp.uint8, banded_kt=banded_kt,
+                    banded_impl="pallas", decoder_impl="pallas")["rgb"])
+
+    mse = float(np.mean((rgb_f32 - rgb_prod) ** 2))
+    psnr = -10.0 * np.log10(max(mse, 1e-20))
+    implied_delta = 4.34 * 10 ** ((26.91 - psnr) / 10.0)
+    print(f"production-stack-vs-f32: PSNR {psnr:.1f} dB, "
+          f"implied DTU delta {implied_delta:.4f} dB")
+    assert psnr >= 46.5, (
+        f"production eval stack costs too much: {psnr:.1f} dB vs f32 "
+        f"(implied DTU PSNR delta {implied_delta:.3f} dB > 0.05)")

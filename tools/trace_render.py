@@ -47,9 +47,14 @@ def main():
     parser.add_argument("--banded_kt", type=int, default=0)
     parser.add_argument("--banded_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
+    parser.add_argument("--decoder_impl", type=str, default="xla",
+                        choices=["xla", "pallas"])
     parser.add_argument("--color_dtype", type=str, default="float32")
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--rays", type=int, default=8192)
+    parser.add_argument("--dump_hlo", type=str, default="",
+                        help="write compiled HLO text here (to look up "
+                             "fusion.N names from the trace)")
     args = parser.parse_args()
 
     import jax
@@ -89,10 +94,17 @@ def main():
                               ref_near_far=nf[:, :-1], ref_images=ref,
                               pair_feats=None, tables=tables,
                               img_h=H, img_w=W, banded_kt=banded_kt,
-                              banded_impl=args.banded_impl)["rgb"]
+                              banded_impl=args.banded_impl,
+                              decoder_impl=args.decoder_impl)["rgb"]
             return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
         carry, _ = jax.lax.scan(step, pix_xy, None, length=4)
         return carry
+
+    if args.dump_hlo:
+        txt = run.lower(pix, params, tables).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print("wrote HLO to", args.dump_hlo)
 
     np.asarray(run(pix, params, tables))     # compile + warm
 
