@@ -460,8 +460,11 @@ class Coach:
         log_msg = (f"{self.ep:02d},{self.it:06d};"
                    if hasattr(self, "ep") and hasattr(self, "it") else "")
         for dataname, data_metric in sum_dict.items():
-            avg = {k: float(np.nanmean(np.asarray(v, np.float64)))
-                   for k, v in data_metric.items()}
+            # skip all-NaN metrics (e.g. LPIPS without its VGG weights)
+            # instead of tripping nanmean's empty-slice RuntimeWarning
+            avg = {k: float(np.nanmean(vv))
+                   for k, v in data_metric.items()
+                   if not np.all(np.isnan(vv := np.asarray(v, np.float64)))}
             log_msg += (f" {dataname.upper()[0]}: {avg.get('PSNR', float('nan')):.2f}, "
                         f"{avg.get('SSIM', float('nan')):.3f}, "
                         f"{avg.get('LPIPS', float('nan')):.3f},")

@@ -70,22 +70,23 @@ def _cells_ranks_weights(grid, H: int, W: int, kt: int,
     return taps, rank, wvals
 
 
-def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
-                          *, V: int, S: int, kt: int, Cc: int, chunk_c: int,
-                          n_groups: int, pairs, block_rays: int,
-                          compute_dtype):
+def _banded_cosine_kernel(*refs, V: int, S: int, kt: int, Cc: int,
+                          chunk_c: int, n_groups: int, pairs,
+                          block_rays: int, compute_dtype):
     """Transposed layout: the sample axis S rides the 128-lane dimension
     everywhere, so per-sample scalars broadcast naturally and every matmul is
     MXU-shaped.
 
-    rows_ref: (V,BR,kt,4Cc) — the raw gathered layout, tap-major channel
-    blocks; rank_ref: (V,BR,1,S) i32; wv_ref: (V,BR,4,S); scale_ref:
-    (V,Cc,1) f32; out_ref: (BR,G,S) f32.
+    refs: V per-view rows refs (BR,kt,4Cc) in the raw gathered layout
+    (tap-major channel blocks), then rank_ref (V,BR,1,S) i32, wv_ref
+    (V,BR,4,S), scale_ref (V,Cc,1) f32, out_ref (BR,G,S) f32.
 
     The interp is four A^T B matmuls (one per bilinear tap, contracting the
     kt sublane dim — native on the MXU) over 128-aligned channel slices of
     the gathered rows, so neither XLA nor the kernel ever re-tiles the 1GB
     rows array."""
+    rows_refs = refs[:V]
+    rank_ref, wv_ref, scale_ref, out_ref = refs[V:]
     Cg = chunk_c // n_groups
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (kt, S), 0)
     # group-selection matrix: (G, chunk_c) 0/1 — the (misaligned, Cg-wide)
@@ -100,7 +101,7 @@ def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
             rank_b = rank_ref[v, b]                                # (1,S) i32
             wv_b = wv_ref[v, b]                                    # (4,S) f32
             onehot = (k_iota == rank_b).astype(jnp.float32)        # (kt,S)
-            rows_b = rows_ref[v, b].astype(compute_dtype)          # (kt,4Cc)
+            rows_b = rows_refs[v][b].astype(compute_dtype)         # (kt,4Cc)
             acc = None
             for t in range(4):
                 Wt = (onehot * wv_b[t:t + 1]).astype(compute_dtype)  # (kt,S)
@@ -127,24 +128,29 @@ def _banded_cosine_kernel(rows_ref, rank_ref, wv_ref, scale_ref, out_ref,
         out_ref[b] = acc_pairs / len(pairs)                        # (G,S)
 
 
-def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
+def banded_interp_cosine(rows_views, rank, wvals, scales, *, chunk_c: int,
                          n_groups: int, pairs: List[Tuple[int, int]],
                          block_rays: int = 8,
                          interpret: Optional[bool] = None):
-    """rows: [V,R,kt,4Cc] tap rows in the raw gathered layout (int8/bf16/
-    f32); rank: [V,R,S] int32 run ranks; wvals: [V,R,S,4] f32 bilinear tap
-    weights; scales: [V,Cc] f32 post-interp dequant (ones unless int8).
-    Returns [R,S,G] f32 pair-mean grouped cosine (matchnerf.py:262-271)."""
+    """rows_views: V-list of [R,kt,4Cc] tap rows in the raw gathered layout
+    (int8/bf16/f32; kept as separate inputs so the per-view gathers feed the
+    kernel without a stack copy); rank: [V,R,S] int32 run ranks; wvals:
+    [V,R,S,4] f32 bilinear tap weights; scales: [V,Cc] f32 post-interp
+    dequant (ones unless int8). Returns [R,S,G] f32 pair-mean grouped cosine
+    (matchnerf.py:262-271)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    V, R, kt, C4 = rows.shape
+    V = len(rows_views)
+    R, kt, C4 = rows_views[0].shape
     Cc = C4 // 4
     S = rank.shape[-1]
-    compute_dtype = jnp.float32 if rows.dtype == jnp.float32 else jnp.bfloat16
+    compute_dtype = jnp.float32 if rows_views[0].dtype == jnp.float32 \
+        else jnp.bfloat16
 
     pad = (-R) % block_rays
     if pad:
-        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        rows_views = [jnp.pad(r, ((0, pad), (0, 0), (0, 0)))
+                      for r in rows_views]
         rank = jnp.pad(rank, ((0, 0), (0, pad), (0, 0)))
         wvals = jnp.pad(wvals, ((0, 0), (0, pad), (0, 0), (0, 0)))
     Rp = R + pad
@@ -159,13 +165,13 @@ def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
         n_groups=n_groups, pairs=pairs, block_rays=block_rays,
         compute_dtype=compute_dtype)
 
+    rows_specs = [pl.BlockSpec((block_rays, kt, C4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM) for _ in range(V)]
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Rp, n_groups, S), jnp.float32),
         grid=(Rp // block_rays,),
-        in_specs=[
-            pl.BlockSpec((V, block_rays, kt, C4), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=rows_specs + [
             pl.BlockSpec((V, block_rays, 1, S), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((V, block_rays, 4, S), lambda i: (0, i, 0, 0),
@@ -176,7 +182,7 @@ def banded_interp_cosine(rows, rank, wvals, scales, *, chunk_c: int,
         out_specs=pl.BlockSpec((block_rays, n_groups, S), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(rows, rankT, wvT, scales[:, :, None])
+    )(*rows_views, rankT, wvT, scales[:, :, None])
     return jnp.swapaxes(out[:R], -1, -2)                           # [R,S,G]
 
 
@@ -208,28 +214,30 @@ def banded_cosine_scale(vfeats, grids, kt: int, n_groups: int,
 
     # per-view gathers when a view's table fits the ~5MB VMEM-residency
     # window (4x faster, tools/bench_gather.py sweep H); one batched gather
-    # otherwise. The [V,R*kt,C4] -> [V,R,kt,C4] split is layout-preserving,
-    # so no re-tiling copy happens between the gather and the kernel.
+    # otherwise (measured faster than 3 separate non-resident gathers). The
+    # kernel takes a V-list, so neither path stacks/copies the rows, and the
+    # [R*kt,C4] -> [R,kt,C4] split is layout-preserving.
     table_bytes = H * W * C4 * vfeats.dtype.itemsize
     if table_bytes <= 6 * 1024 * 1024:
-        rows = jnp.stack(
-            [jnp.take_along_axis(vfeats[0, v].reshape(H * W, C4),
-                                 taps[v].reshape(R * kt)[:, None], axis=0,
-                                 mode="promise_in_bounds")
-             for v in range(V)])                                   # [V,R*kt,C4]
+        rows_views = [
+            jnp.take_along_axis(vfeats[0, v].reshape(H * W, C4),
+                                taps[v].reshape(R * kt)[:, None], axis=0,
+                                mode="promise_in_bounds").reshape(R, kt, C4)
+            for v in range(V)]
     else:
         flat = vfeats[0].reshape(V, H * W, C4)
         rows = jnp.take_along_axis(
             flat, taps.reshape(V, R * kt)[..., None], axis=1,
             mode="promise_in_bounds")                              # [V,R*kt,C4]
-    rows = rows.reshape(V, R, kt, C4)
+        rows_views = [rows[v].reshape(R, kt, C4) for v in range(V)]
 
     if dequant_scales is None:
         scales = jnp.ones((V, Cc), jnp.float32)
     else:
         scales = dequant_scales.reshape(V, Cc).astype(jnp.float32)
 
-    out = banded_interp_cosine(rows, rank, wvals, scales, chunk_c=chunk_c,
-                               n_groups=n_groups, pairs=pairs,
-                               block_rays=block_rays, interpret=interpret)
+    out = banded_interp_cosine(rows_views, rank, wvals, scales,
+                               chunk_c=chunk_c, n_groups=n_groups,
+                               pairs=pairs, block_rays=block_rays,
+                               interpret=interpret)
     return out[None]                                               # [1,R,S,G]

@@ -109,13 +109,20 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
         from jax.sharding import NamedSharding, PartitionSpec as P
         ray_sharding = NamedSharding(mesh, P(None, "data"))
 
+    prec = cfg.get("precision") or {}
+    train_tables = bool(prec.get("train_packed_tables", True)) \
+        if hasattr(prec, "get") else True
+
     def loss_fn(params, batch, rng):
         ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
         pair_feats = encode(params, cfg, ref_images)
         # packed tables are pure reshuffles — differentiable; keep f32 in
-        # training so encoder grads aren't bf16-rounded
+        # training so encoder grads aren't bf16-rounded. Their backward
+        # scatter-adds ~5ms/table, but the raw 4-tap alternative measured
+        # slower overall (178 vs 200 ms/step on v5e) — knob kept for
+        # re-evaluation on other topologies.
         tables = None
-        if int(cfg.encoder.feature_sample_local_radius) <= 0:
+        if train_tables and int(cfg.encoder.feature_sample_local_radius) <= 0:
             tables = prepare_sampling_tables(cfg, pair_feats, ref_images)
 
         rng_rays, rng_depth = jax.random.split(rng)

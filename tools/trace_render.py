@@ -41,6 +41,35 @@ def parse_xplane(logdir):
     return totals
 
 
+def hlo_op_lookup(hlo_path):
+    """Map HLO instruction names -> (op_name, source) from a dumped HLO text,
+    so trace rows like 'fusion.374' become attributable."""
+    import re
+    look = {}
+    if not hlo_path or not os.path.exists(hlo_path):
+        return look
+    pat = re.compile(r"%([\w.\-]+) = .*?op_name=\"([^\"]+)\""
+                     r"(?:.*?source_file=\"([^\"]+)\" source_line=(\d+))?")
+    with open(hlo_path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                src = f"{m.group(3)}:{m.group(4)}" if m.group(3) else ""
+                look[m.group(1)] = (m.group(2), src)
+    return look
+
+
+def report(totals, top, hlo_path=""):
+    look = hlo_op_lookup(hlo_path)
+    items = sorted(totals.items(), key=lambda kv: -kv[1])
+    grand = sum(v for _, v in items)
+    print(f"total traced op-time: {grand/1000:.1f} ms")
+    for name, us in items[:top]:
+        opn, src = look.get(name, ("", ""))
+        extra = f"  [{opn.split('/')[-1]} @ {src.split('/')[-1]}]" if opn else ""
+        print(f"{us/1000:9.2f} ms  {100*us/grand:5.1f}%  {name[:60]}{extra}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--feat_dtype", type=str, default="bfloat16")
@@ -119,11 +148,7 @@ def main():
         print("no trace.json.gz produced; files:",
               glob.glob(os.path.join(logdir, "**", "*"), recursive=True))
         return
-    items = sorted(totals.items(), key=lambda kv: -kv[1])
-    grand = sum(v for _, v in items)
-    print(f"total traced op-time: {grand/1000:.1f} ms (4 iterations)")
-    for name, us in items[: args.top]:
-        print(f"{us/1000:9.2f} ms  {100*us/grand:5.1f}%  {name[:110]}")
+    report(totals, args.top, hlo_path=args.dump_hlo)
 
 
 if __name__ == "__main__":

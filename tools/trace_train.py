@@ -1,0 +1,92 @@
+"""Capture an XLA device trace of the training step at DTU train shapes
+(640x512, 1024 rays, batch 1) and print the per-op cost breakdown.
+
+Usage: python tools/trace_train.py [--encoder_dtype bfloat16] [--remat]
+       [--top 30] [--dump_hlo /tmp/train_hlo.txt]
+"""
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--encoder_dtype", type=str, default="float32")
+    parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--top", type=int, default=35)
+    parser.add_argument("--dump_hlo", type=str, default="")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.train_step import build_optimizer, make_train_step
+    from matchnerf_tpu.utils import DotDict
+    from trace_render import parse_xplane
+
+    cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"encoder_compute_dtype": args.encoder_dtype,
+                             "remat_encoder": bool(args.remat)})
+    cfg.optim = DotDict({
+        "lr_enc": 5e-6, "lr_dec": 5e-4, "clip_enc": 1.0,
+        "algo": DotDict({"type": "AdamW", "weight_decay": 1e-4}),
+        "sched": None,
+    })
+    cfg.loss_weight = DotDict({"render": 1.0})
+    B, H, W, R = 1, 512, 640, 1024
+
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, B, H, W, R)
+    batch = {
+        "images": jnp.asarray(d["images"]),
+        "intrinsics": jnp.asarray(d["intr"]),
+        "extrinsics": jnp.asarray(d["poses"]),
+        "near_fars": jnp.asarray(d["near_fars"]),
+        "tgt_c2w": jnp.asarray(d["tgt_c2w"]),
+    }
+    tx, _ = build_optimizer(cfg, total_steps=1000)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, H, W, R)
+
+    @jax.jit
+    def run(params, opt_state, batch, rng):
+        def body(carry, _):
+            p, o, r = carry
+            r, sub = jax.random.split(r)
+            p, o, losses = step(p, o, batch, sub)
+            return (p, o, r), losses["all"]
+        carry, losses = jax.lax.scan(body, (params, opt_state, rng), None,
+                                     length=4)
+        return losses
+
+    rng = jax.random.PRNGKey(0)
+    if args.dump_hlo:
+        txt = run.lower(params, opt_state, batch, rng).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print("wrote HLO to", args.dump_hlo)
+    np.asarray(run(params, opt_state, batch, rng))       # compile + warm
+
+    import shutil
+    logdir = "/tmp/xla_trace_train"
+    shutil.rmtree(logdir, ignore_errors=True)
+    jax.profiler.start_trace(logdir)
+    np.asarray(run(params, opt_state, batch, rng))
+    jax.profiler.stop_trace()
+
+    from trace_render import report
+    totals = parse_xplane(logdir)
+    if totals is None:
+        print("no trace produced")
+        return
+    report(totals, args.top, hlo_path=args.dump_hlo)
+
+
+if __name__ == "__main__":
+    main()
