@@ -282,9 +282,10 @@ class Coach:
         self.setup_parallel()
         W, H = cfg.data_train.img_wh
         n_rays = int(cfg.nerf.rand_rays_train) // max(int(cfg.batch_size), 1)
-        self._train_step = make_train_step(
-            cfg, self.tx, H, W, n_rays, mesh=self.mesh,
-            shard_rays=self.parallel_mode == "rays")
+        self._train_hw = (H, W, n_rays)
+        self._train_steps = {}        # banded_kt bucket -> compiled step
+        self._banded_kt_cache = {}    # pose-bytes -> banded_kt bucket
+        self._train_step = self._get_train_step(None)
         self._rng = jax.random.PRNGKey(int(cfg.get("seed") or 0))
 
         if cfg.get("sanity_check") and self.it == 0:
@@ -327,11 +328,64 @@ class Coach:
         if cfg.freq.ckpt_ep > 0 and (self.ep + 1) % cfg.freq.ckpt_ep == 0:
             self.save_checkpoint_now(ep=self.ep + 1, it=self.it, backup_ckpt=True)
 
+    _train_hw = None
+    _train_steps = None
+    _banded_kt_cache = None
+
+    def _get_train_step(self, banded_kt):
+        if self._train_hw is None:
+            # test harnesses install _train_step directly without the
+            # train_model() setup; honor it for the default (direct) path
+            return self._train_step
+        if self._train_steps is None:
+            self._train_steps = {}
+        if banded_kt not in self._train_steps:
+            H, W, n_rays = self._train_hw
+            self._train_steps[banded_kt] = make_train_step(
+                self.cfg, self.tx, H, W, n_rays, mesh=self.mesh,
+                shard_rays=self.parallel_mode == "rays", banded_kt=banded_kt)
+        return self._train_steps[banded_kt]
+
+    def _train_banded_kt(self, batch: Dict):
+        """Per-batch banded run bound for the training cond query (cached by
+        pose bytes; buckets keep the jit cache small). None = direct path."""
+        cfg = self.cfg
+        prec = cfg.get("precision") or {}
+        if not (hasattr(prec, "get") and prec.get("banded_kernel")):
+            return None
+        if self.mesh is not None or int(cfg.batch_size) != 1:
+            return None
+        if self._train_hw is None:
+            return None
+        if self._banded_kt_cache is None:
+            self._banded_kt_cache = {}
+        extr = np.asarray(batch["extrinsics"])     # [1,V+1,3/4,4]
+        intr = np.asarray(batch["intrinsics"])
+        nf = np.asarray(batch["near_fars"])
+        key = (extr.tobytes(), intr.tobytes(), nf.tobytes())
+        if key not in self._banded_kt_cache:
+            from .renderer import banded_kt_host
+            W, H = cfg.data_train.img_wh
+            up = int(cfg.encoder.upsample_factor)
+            scale_hws = [(H // 8, W // 8), (H // 8 * up, W // 8 * up)]
+            c2w = camera.pose_inverse_legacy_np(extr[:, -1, :3, :]) \
+                if cfg.nerf.legacy_coord else \
+                np.asarray(camera.pose_inverse(jnp.asarray(extr[:, -1, :3, :])))
+            kt = banded_kt_host(
+                cfg, c2w, intr[0, -1], nf[0, -1],
+                extr[0, :-1, :3, :], intr[0, :-1], scale_hws, H, W)
+            # the kernel path needs every scale banded; mixed None -> direct
+            if kt is not None and any(k is None for k in kt):
+                kt = None
+            self._banded_kt_cache[key] = kt
+        return self._banded_kt_cache[key]
+
     def train_iteration(self, batch: Dict) -> Dict:
         self.timer["it_start"] = time.time()
         self._rng, step_rng = jax.random.split(self._rng)
         dev_batch = self._prep_train_batch(batch)
-        self.params, self.opt_state, loss_parts = self._train_step(
+        step_fn = self._get_train_step(self._train_banded_kt(batch))
+        self.params, self.opt_state, loss_parts = step_fn(
             self.params, self.opt_state, dev_batch, step_rng)
         loss = summarize_loss({"render": loss_parts["render"]}, self.cfg.loss_weight)
 

@@ -237,11 +237,18 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
             kt = banded_kt[scale_idx] if banded_kt is not None else None
             if kt is not None and banded_impl == "pallas":
                 # VMEM-fused dedup-gather + interp + cosine megakernel: only
-                # the [R,S,G] cosine ever leaves HBM (ops/pallas_banded.py)
-                from ..ops.pallas_banded import banded_cosine_scale
-                feat_chunks.append(banded_cosine_scale(
-                    vfeats, grids, kt=kt, n_groups=G, pairs=pairs,
-                    dequant_scales=scales))
+                # the [R,S,G] cosine ever leaves HBM (ops/pallas_banded.py).
+                # f32 tables route through the custom-VJP variant so the
+                # training step can differentiate through the kernel.
+                if scales is None:
+                    from ..ops.pallas_banded import banded_cosine_scale_trainable
+                    feat_chunks.append(banded_cosine_scale_trainable(
+                        vfeats, grids, kt, G, tuple(pairs), 8))
+                else:
+                    from ..ops.pallas_banded import banded_cosine_scale
+                    feat_chunks.append(banded_cosine_scale(
+                        vfeats, grids, kt=kt, n_groups=G, pairs=pairs,
+                        dequant_scales=scales))
                 continue
             if kt is not None:
                 from ..ops.banded_gather import banded_sample_packed

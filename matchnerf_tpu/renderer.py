@@ -80,6 +80,59 @@ def decoder_impl(cfg) -> str:
     return "xla"
 
 
+def banded_kt_host(cfg, tgt_c2w, tgt_intr, tgt_nf, ref_w2c, ref_intr,
+                   scale_hws, img_h: int, img_w: int):
+    """Per-scale banded-gather Kt buckets for one target pose, or None.
+
+    Host decision, once per (image set, target pose): project each target
+    pixel's near/far depth endpoints into every source view. For points in
+    front of a camera (z>0) the projected pixel path over depth is monotone,
+    so per-ray distinct cells <= |dx|+|dy|+1 from the endpoint cells alone
+    (ops/banded_gather.py). Numpy replica of the device math; the bucket
+    margin absorbs f32 drift. The bound covers EVERY image pixel, so it is
+    valid for any sampled ray subset (training uses random rays).
+
+    tgt_c2w: [1,3,4]; tgt_intr: [3,3]; tgt_nf: [2]; ref_w2c: [V,3,4];
+    ref_intr: [V,3,3]; scale_hws: [(h,w) per scale]."""
+    from .ops.banded_gather import banded_bound_from_endpoints, bucket_kt
+
+    S = int(cfg.nerf.sample_intvs)
+    grid = np.asarray(camera.pixel_grid(img_h, img_w,
+                                        legacy=cfg.nerf.legacy_coord))
+    hom = np.concatenate([grid, np.ones((grid.shape[0], 1), np.float32)], -1)
+    dirs = hom @ np.linalg.inv(tgt_intr).T @ tgt_c2w[0, :, :3].T   # [HW,3]
+    center = tgt_c2w[0, :, 3]
+    dvals = np.asarray(tgt_nf, np.float64)
+    if cfg.nerf.depth.param == "inverse":
+        dvals = 1.0 / (dvals + 1e-8)
+    pts = center[None, None] + dirs[:, None] * dvals[None, :, None]  # [HW,2,3]
+
+    kts = []
+    for (h, w) in scale_hws:
+        bound = 1
+        safe = True
+        for v in range(ref_w2c.shape[0]):
+            p_ref = pts.reshape(-1, 3) @ ref_w2c[v, :, :3].T + ref_w2c[v, :, 3]
+            pix = p_ref @ ref_intr[v].T
+            z = pix[:, 2]
+            safe = safe and bool((z > 1e-6).all())
+            if not safe:
+                break
+            ndc = pix[:, :2] / z[:, None] / np.array(
+                [img_w - 1, img_h - 1], np.float64)
+            xs = np.clip(ndc[:, 0] * (w - 1), 0, w - 1)
+            ys = np.clip(ndc[:, 1] * (h - 1), 0, h - 1)
+            cells = (np.floor(ys).astype(np.int64) * w
+                     + np.floor(xs).astype(np.int64)).reshape(-1, 2)
+            b, _ = banded_bound_from_endpoints(cells[:, 0], cells[:, 1],
+                                               np.ones(1, bool), w)
+            bound = max(bound, b)
+        kts.append(bucket_kt(bound, S) if safe else None)
+    if all(k is None for k in kts):
+        return None
+    return tuple(kts)
+
+
 def extract_poses(batch: Dict) -> Dict:
     """Split the (V+1)-view batch into target (last) and reference poses
     (models/matchnerf.py:75-86). Host-side numpy."""
@@ -207,25 +260,25 @@ class Renderer:
                            banded_kt=None):
         """Jitted scan over G sub-slices per dispatch: keeps per-step memory
         at one slice while amortizing the per-dispatch overhead (the TPU
-        relay charges ~30ms per call)."""
+        relay charges ~30ms per call).
+
+        With a mesh, the whole per-dispatch render runs under `shard_map`
+        over the ray axis: every device renders its ray shard locally (rays
+        are embarrassingly parallel — zero collectives), so the Pallas
+        megakernels execute natively per shard instead of relying on XLA's
+        auto-partitioning of pallas_call."""
         impl = banded_impl(self.cfg) or "xla"
         dec_impl = decoder_impl(self.cfg)
-        if self.mesh is not None:
-            dec_impl = "xla"   # pallas_call auto-partitioning unverified
         key = ("multi", img_h, img_w, setbg, G, banded_kt, impl, dec_impl)
         if key not in self._render_jit:
             cfg = self.cfg
             prec = cfg.get("precision") or {}
             fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
 
-            @jax.jit
-            def _render_groups(params, pix_groups, tgt_intr, tgt_c2w, tgt_nf,
-                               ref_w2c, ref_intr, ref_nf, ref_images,
-                               pair_feats, tables):
-                pix_groups = self._ray_constraint(pix_groups, 3)  # [G,B,R,2]
-
+            def _render_groups_local(params, pix_groups, tgt_intr, tgt_c2w,
+                                     tgt_nf, ref_w2c, ref_intr, ref_nf,
+                                     ref_images, pair_feats, tables):
                 def step(_, pix_xy):
-                    pix_xy = self._ray_constraint(pix_xy, 1)
                     out = render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w,
                                       tgt_nf, ref_w2c, ref_intr, ref_nf,
                                       ref_images, pair_feats,
@@ -237,69 +290,45 @@ class Renderer:
                 _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
                 return outs
 
-            self._render_jit[key] = _render_groups
+            if self.mesh is None:
+                fn = jax.jit(_render_groups_local)
+            else:
+                try:
+                    from jax import shard_map
+                except ImportError:          # older jax
+                    from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+                ray_spec = P(None, None, "data", None)         # [G,B,R,2]
+                out_spec = P(None, None, "data", None)         # [G,B,R,c]
+                rep = P()
+                import inspect
+                rep_kw = ("check_vma"
+                          if "check_vma" in inspect.signature(shard_map).parameters
+                          else "check_rep")
+                fn = jax.jit(shard_map(
+                    _render_groups_local, mesh=self.mesh,
+                    in_specs=(rep, ray_spec) + (rep,) * 9,
+                    out_specs={"rgb": out_spec, "depth": out_spec,
+                               "opacity": out_spec},
+                    **{rep_kw: False}))
+            self._render_jit[key] = fn
         return self._render_jit[key]
 
     def _banded_kt(self, poses, tgt, tables, img_h: int, img_w: int):
-        """Per-scale banded-gather Kt buckets for this target pose, or None.
-
-        Host decision, once per (image set, target pose): project each target
-        pixel's near/far depth endpoints into every source view. For points
-        in front of a camera (z>0) the projected pixel path over depth is
-        monotone, so per-ray distinct cells <= |dx|+|dy|+1 from the endpoint
-        cells alone (ops/banded_gather.py). Numpy replica of the device math;
-        the bucket margin absorbs f32 drift."""
-        from .ops.banded_gather import banded_bound_from_endpoints, bucket_kt
-
+        """Per-scale banded-gather Kt buckets for this target pose, or None."""
         cfg = self.cfg
         if tables is None or banded_impl(cfg) is None:
             return None
-        if self.mesh is not None and banded_impl(cfg) == "pallas":
-            return None        # pallas_call auto-partitioning unverified; the
-            # sharded eval path keeps the direct gathers
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
         if c2w.shape[0] != 1:
             return None                              # batched eval: direct path
-        S = int(cfg.nerf.sample_intvs)
-        grid = np.asarray(camera.pixel_grid(img_h, img_w,
-                                            legacy=cfg.nerf.legacy_coord))
-        hom = np.concatenate([grid, np.ones((grid.shape[0], 1), np.float32)], -1)
-        intr_t = np.asarray(tgt["intrinsics"])[0]
-        dirs = hom @ np.linalg.inv(intr_t).T @ c2w[0, :, :3].T     # [HW,3]
-        center = c2w[0, :, 3]
-        nf = np.asarray(tgt["near_fars"]).reshape(-1)[:2]
-        dvals = nf.astype(np.float64)
-        if cfg.nerf.depth.param == "inverse":
-            dvals = 1.0 / (dvals + 1e-8)
-        pts = center[None, None] + dirs[:, None] * dvals[None, :, None]  # [HW,2,3]
-
-        ref_w2c = np.asarray(poses["ref"]["extrinsics"])[0]        # [V,3,4]
-        ref_intr = np.asarray(poses["ref"]["intrinsics"])[0]       # [V,3,3]
-        kts = []
-        for scale_idx, vfeats in enumerate(tables["view_feats"]):
-            h, w = vfeats.shape[2], vfeats.shape[3]
-            bound = 1
-            safe = True
-            for v in range(ref_w2c.shape[0]):
-                p_ref = pts.reshape(-1, 3) @ ref_w2c[v, :, :3].T + ref_w2c[v, :, 3]
-                pix = p_ref @ ref_intr[v].T
-                z = pix[:, 2]
-                safe = safe and bool((z > 1e-6).all())
-                if not safe:
-                    break
-                ndc = pix[:, :2] / z[:, None] / np.array(
-                    [img_w - 1, img_h - 1], np.float64)
-                xs = np.clip(ndc[:, 0] * (w - 1), 0, w - 1)
-                ys = np.clip(ndc[:, 1] * (h - 1), 0, h - 1)
-                cells = (np.floor(ys).astype(np.int64) * w
-                         + np.floor(xs).astype(np.int64)).reshape(-1, 2)
-                b, _ = banded_bound_from_endpoints(cells[:, 0], cells[:, 1],
-                                                   np.ones(1, bool), w)
-                bound = max(bound, b)
-            kts.append(bucket_kt(bound, S) if safe else None)
-        if all(k is None for k in kts):
-            return None
-        return tuple(kts)
+        scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
+        return banded_kt_host(
+            cfg, c2w, np.asarray(tgt["intrinsics"])[0],
+            np.asarray(tgt["near_fars"]).reshape(-1)[:2],
+            np.asarray(poses["ref"]["extrinsics"])[0],
+            np.asarray(poses["ref"]["intrinsics"])[0],
+            scale_hws, img_h, img_w)
 
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,

@@ -86,7 +86,7 @@ def build_optimizer(cfg, total_steps: int):
 
 
 def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
-                    mesh=None, shard_rays: bool = False):
+                    mesh=None, shard_rays: bool = False, banded_kt=None):
     """Build the jitted train step for a fixed (H, W, rays) shape.
 
     Parallel modes (mesh from `parallel.make_mesh`):
@@ -97,6 +97,11 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
       is sharded instead via an in-graph constraint; params stay replicated
       and XLA psums the grads over ICI. Rays are embarrassingly parallel so
       the only collectives are the loss/grad reductions.
+
+    banded_kt: optional per-scale run-bound buckets (renderer.banded_kt_host,
+    computed per batch pose by the engine) — routes the cond query through
+    the custom-VJP banded megakernel (ops/pallas_banded.py), which dedups
+    gather rows AND scatter-add rows in the backward. Compiled per bucket.
     """
     render_w = cfg.loss_weight.get("render", 1.0) or 0.0
     stratified = bool(cfg.nerf.sample_stratified)
@@ -146,7 +151,9 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
             ref_near_far=batch["near_fars"][:, :-1],
             ref_images=ref_images,
             pair_feats=pair_feats, tables=tables,
-            img_h=img_h, img_w=img_w, rng=rng_depth, stratified=stratified)
+            img_h=img_h, img_w=img_w, rng=rng_depth, stratified=stratified,
+            banded_kt=banded_kt if tables is not None else None,
+            banded_impl="pallas")
 
         tgt = batch["images"][:, -1].reshape(B, img_h * img_w, 3)
         tgt = jnp.take_along_axis(tgt, jnp.broadcast_to(

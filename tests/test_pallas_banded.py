@@ -98,6 +98,114 @@ def test_banded_kernel_ragged_ray_padding():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_banded_trainable_grads_match_direct():
+    """Custom-VJP banded query: gradients w.r.t. the f32 tables match
+    autodiff through the direct packed path."""
+    from matchnerf_tpu.ops.pallas_banded import banded_cosine_scale_trainable
+
+    rng = np.random.default_rng(4)
+    V, H, W, C = 3, 24, 28, 16
+    R, S, G = 12, 24, 4
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = tuple(pair_index_lists(V))
+    gcot = jnp.asarray(rng.normal(0, 1, (1, R, S, G)).astype(np.float32))
+
+    def loss_direct(vf):
+        out = _reference_cosine(vf, grids, C, G, pairs)
+        return jnp.vdot(out, gcot)
+
+    def loss_banded(vf):
+        out = banded_cosine_scale_trainable(vf, grids, 48, G, pairs, 8)
+        return jnp.vdot(out, gcot)
+
+    v_d, g_d = jax.value_and_grad(loss_direct)(packed)
+    v_b, g_b = jax.value_and_grad(loss_banded)(packed)
+    np.testing.assert_allclose(float(v_b), float(v_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_d),
+                               atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_eval_with_kernels_matches_single_device():
+    """render_by_slices under an 8-device CPU mesh (shard_map over rays) with
+    the banded + decoder megakernels equals the unsharded render."""
+    import __graft_entry__ as ge
+    from jax.sharding import Mesh
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"cond_sample_dtype": "float32",
+                             "banded_kernel": True, "decoder_kernel": True})
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    def run(mesh):
+        r = Renderer(cfg, mesh=mesh)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        assert r._banded_kt(poses, poses["tgt"], tables, H, W) is not None
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_single = run(None)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    out_mesh = run(mesh)
+    np.testing.assert_allclose(out_mesh["rgb"], out_single["rgb"],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_banded_train_grads_through_render_rays():
+    """End-to-end training gradients (encoder+decoder params) through
+    render_rays with the banded kernel vs the direct packed path."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import (encode, init_matchnerf,
+                                                prepare_sampling_tables,
+                                                render_rays)
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=32)
+    B, H, W, R = 1, 48, 48, 24
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, B, H, W, R)
+    ref = jnp.asarray(d["images"][:, :3])
+    tgt = jnp.asarray(d["images"][:, 3, :R // 2, 0, :])          # fake target
+
+    kwargs = dict(
+        pix_xy=jnp.asarray(d["pix"][:, :R // 2]),
+        tgt_intr=jnp.asarray(d["intr"][:, -1]),
+        tgt_c2w=jnp.asarray(d["tgt_c2w"]),
+        tgt_near_far=jnp.asarray(d["near_fars"][:, -1]),
+        ref_w2c=jnp.asarray(d["poses"][:, :-1, :3, :]),
+        ref_intr=jnp.asarray(d["intr"][:, :-1]),
+        ref_near_far=jnp.asarray(d["near_fars"][:, :-1]),
+        img_h=H, img_w=W)
+
+    def loss(p, banded_kt, banded_impl):
+        feats = encode(p, cfg, ref)
+        tables = prepare_sampling_tables(cfg, feats, ref)
+        out = render_rays(p, cfg, ref_images=ref, pair_feats=feats,
+                          tables=tables, banded_kt=banded_kt,
+                          banded_impl=banded_impl, **kwargs)
+        return jnp.mean((out["rgb"] - tgt) ** 2)
+
+    v_d, g_d = jax.value_and_grad(loss)(params, None, "xla")
+    v_b, g_b = jax.value_and_grad(loss)(params, (16, 16), "pallas")
+    np.testing.assert_allclose(float(v_b), float(v_d), rtol=1e-5)
+    flat_d = jax.tree_util.tree_leaves(g_d)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    for a, b in zip(flat_d, flat_b):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=2e-3)
+
+
 def test_render_by_slices_banded_kernel_matches_direct():
     """End-to-end: full-image eval with precision.banded_kernel vs direct."""
     import __graft_entry__ as ge

@@ -15,6 +15,9 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder_dtype", type=str, default="float32")
+    parser.add_argument("--banded_kt", type=int, default=0,
+                        help="route the cond query through the custom-VJP "
+                             "banded kernel with this bucket per scale")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--top", type=int, default=35)
     parser.add_argument("--dump_hlo", type=str, default="")
@@ -52,7 +55,8 @@ def main():
     }
     tx, _ = build_optimizer(cfg, total_steps=1000)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx, H, W, R)
+    banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+    step = make_train_step(cfg, tx, H, W, R, banded_kt=banded_kt)
 
     @jax.jit
     def run(params, opt_state, batch, rng):
