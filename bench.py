@@ -57,30 +57,40 @@ def main():
     nf = jnp.asarray(d["near_fars"])
     tgt_c2w = jnp.asarray(d["tgt_c2w"])
     ref_images = images[:, : cfg.n_src_views]
-    pix = jnp.asarray(d["pix"])
+    # production ray order: render_by_slices walks contiguous pixel slices
+    # (the block kernel's shared-band gather depends on this adjacency)
+    from matchnerf_tpu import camera
+    grid = np.asarray(camera.pixel_grid(H, W, legacy=cfg.nerf.legacy_coord))
+    off = ((H * W - R) // 2 // 8) * 8
+    pix = jnp.asarray(grid[off:off + R][None])
 
     # production eval precision (configs/test.yaml): int8 feature tables,
-    # uint8 color tables, banded-dedup + VMEM interp+cosine megakernel,
+    # uint8 color tables, block-level shared dilated-union megakernel,
     # VMEM-resident decoder megakernel
     @jax.jit
     def enc(p, x):
         feats = encode(p, cfg, x)
         return prepare_sampling_tables(cfg, feats, x, feat_dtype=jnp.int8,
-                                       color_dtype=jnp.uint8)
+                                       color_dtype=jnp.uint8,
+                                       keep_unpacked=True)
 
     tables = enc(params, ref_images)
 
-    # per-pose banded run bound, exactly as Renderer.render_by_slices does
+    # per-pose banded run bound + block-union buckets, exactly as
+    # Renderer.render_by_slices does
     from matchnerf_tpu.renderer import Renderer, extract_poses
     from matchnerf_tpu.utils import DotDict
     bcfg = DotDict(dict(cfg))
     bcfg.precision = DotDict({"cond_sample_dtype": "int8",
                               "color_sample_dtype": "uint8",
-                              "banded_kernel": True, "decoder_kernel": True})
+                              "banded_kernel": True, "block_kernel": True,
+                              "decoder_kernel": True})
     pose_d = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
                             "near_fars": d["near_fars"]})
-    banded_kt = Renderer(bcfg)._banded_kt(pose_d, pose_d["tgt"], tables, H, W)
-    print(f"# banded_kt={banded_kt}", file=sys.stderr)
+    rend = Renderer(bcfg)
+    banded_kt = rend._banded_kt(pose_d, pose_d["tgt"], tables, H, W)
+    block_ut = rend._block_ut(pose_d, pose_d["tgt"], tables, H, W, banded_kt)
+    print(f"# banded_kt={banded_kt} block_ut={block_ut}", file=sys.stderr)
 
     def render_slice(params, tables, pix_xy):
         return render_rays(
@@ -89,7 +99,7 @@ def main():
             ref_w2c=poses[:, :-1, :3, :], ref_intr=intr[:, :-1],
             ref_near_far=nf[:, :-1], ref_images=ref_images,
             pair_feats=None, tables=tables, img_h=H, img_w=W,
-            banded_kt=banded_kt, banded_impl="pallas",
+            banded_kt=banded_kt, banded_impl="block", block_ut=block_ut,
             decoder_impl="pallas")["rgb"]
 
     # device-side timing: K chained render slices inside one dispatch

@@ -87,7 +87,7 @@ def sample_depth(cfg, near_far, batch_size: int, num_rays: int,
 
 
 def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
-                            color_dtype=None):
+                            color_dtype=None, keep_unpacked: bool = False):
     """Pack feature maps and source images into 2x2-tap sampling tables.
 
     Done once per image set (amortized over all render slices/frames). Two
@@ -118,8 +118,13 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
     """
     n_views = cfg.n_src_views
     pairs = pair_index_lists(n_views)
-    view_feats, view_scales = [], []
-    for feats in pair_feats:
+    view_feats, view_scales, view_unpacked = [], [], []
+    # feat_dtype may be a per-scale list (e.g. [int8, "int4"]: keep the small
+    # raw-scale table at int8, drop the 4x-bigger upsampled one to int4)
+    per_scale_dtypes = feat_dtype if isinstance(feat_dtype, (list, tuple)) \
+        else [feat_dtype] * len(pair_feats)
+    for scale_i, feats in enumerate(pair_feats):
+        feat_dtype = per_scale_dtypes[scale_i]
         B, P, _, h, w, C = feats.shape
         per_view = []
         for v in range(n_views):
@@ -127,7 +132,29 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
                       for p_idx, (a, b) in enumerate(pairs) if v in (a, b)]
             per_view.append(jnp.concatenate(chunks, axis=-1))     # [B,h,w,(V-1)C]
         stacked = jnp.stack(per_view, axis=1)                      # [B,V,h,w,(V-1)C]
-        if feat_dtype is not None and jnp.dtype(feat_dtype) == jnp.int8:
+        if feat_dtype is not None and str(feat_dtype).startswith("int4"):
+            # nibble-packed int4 (uint8 carrier, bias +8): halves gather
+            # bytes vs int8 AND drops the scale-1 table under the ~5MB
+            # VMEM-residency window (tools/bench_gather.py sweep H). uint8
+            # feature tables are the int4 marker downstream. "int4pXX.X"
+            # clips the per-channel scale at the XX.X abs-percentile
+            # (saturating outliers instead of inflating the quant step).
+            from ..ops.grid_sample import pack_int4_channels
+            name = str(feat_dtype)
+            if name.startswith("int4p"):
+                pct = float(name[len("int4p"):])
+                B_, V_ = stacked.shape[:2]
+                amax = jnp.percentile(
+                    jnp.abs(stacked).reshape(B_, V_, h * w, -1), pct,
+                    axis=2)[:, :, None, None, :]
+            else:
+                amax = jnp.max(jnp.abs(stacked), axis=(2, 3), keepdims=True)
+            scale = jnp.maximum(amax, 1e-12) / 7.0                 # [B,V,1,1,C']
+            q = jnp.clip(jnp.round(stacked / scale), -8, 7) \
+                .astype(jnp.int32) + 8
+            stacked = pack_int4_channels(q)
+            view_scales.append(scale[:, :, 0, 0])                  # [B,V,C']
+        elif feat_dtype is not None and jnp.dtype(feat_dtype) == jnp.int8:
             amax = jnp.max(jnp.abs(stacked), axis=(2, 3), keepdims=True)
             scale = jnp.maximum(amax, 1e-12) / 127.0               # [B,V,1,1,C']
             stacked = jnp.clip(jnp.round(stacked / scale), -127, 127) \
@@ -137,6 +164,13 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
             if feat_dtype is not None:
                 stacked = stacked.astype(feat_dtype)
             view_scales.append(None)
+        if keep_unpacked:
+            # the block-banded kernel gathers from the 4x-smaller unpacked
+            # table (its dilated union covers every bilinear tap); not
+            # supported for nibble-packed int4
+            assert stacked.dtype != jnp.uint8, \
+                "block kernel tables don't support int4"
+            view_unpacked.append(stacked)
         packed = pack_2x2(stacked.reshape(B * n_views, h, w, -1))
         view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
@@ -147,8 +181,11 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
         color_scale = 1.0 / 255.0
     packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
         .reshape(B, V, H, W, 12)
-    return {"view_feats": view_feats, "view_feat_scales": view_scales,
-            "colors": packed_colors, "color_scale": color_scale}
+    out = {"view_feats": view_feats, "view_feat_scales": view_scales,
+           "colors": packed_colors, "color_scale": color_scale}
+    if keep_unpacked:
+        out["view_feats_unpacked"] = view_unpacked
+    return out
 
 
 def _grouped_cosine(a, b, n_groups: int, eps: float = 1e-8):
@@ -169,7 +206,8 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     pair_feats: List[jnp.ndarray], img_h: int, img_w: int,
                     tables: Optional[dict] = None, fused_cosine: bool = False,
                     banded_kt: Optional[tuple] = None,
-                    banded_impl: str = "xla"):
+                    banded_impl: str = "xla",
+                    block_ut: Optional[tuple] = None):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -218,8 +256,9 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
         # scheme (matchnerf.py:259-268)
         for scale_idx, vfeats in enumerate(tables["view_feats"]):
             G = cos_n_group[scale_idx]
-            C_chunk = vfeats.shape[-1] // (4 * (V - 1))
-            if fused:
+            int4 = vfeats.dtype == jnp.uint8       # nibble-packed int4 marker
+            C_chunk = vfeats.shape[-1] * (2 if int4 else 1) // (4 * (V - 1))
+            if fused and not int4:
                 # fused Pallas interp+cosine (eval path): consume raw gather
                 # rows, never materialize per-view interpolations
                 from ..ops.pallas_cond import fused_interp_grouped_cosine
@@ -235,7 +274,20 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                 continue
             scales = (tables.get("view_feat_scales") or [None] * 2)[scale_idx]
             kt = banded_kt[scale_idx] if banded_kt is not None else None
-            if kt is not None and banded_impl == "pallas":
+            ut = block_ut[scale_idx] if block_ut is not None else None
+            unpacked = (tables.get("view_feats_unpacked")
+                        if hasattr(tables, "get") else None)
+            if (kt is not None and ut is not None and unpacked is not None
+                    and banded_impl == "block"):
+                # block-level shared dilated-union megakernel: unpacked (4x
+                # smaller, gather-resident) tables, one matmul for all four
+                # bilinear taps (ops/pallas_block_banded.py)
+                from ..ops.pallas_block_banded import block_banded_cosine_scale
+                feat_chunks.append(block_banded_cosine_scale(
+                    unpacked[scale_idx], grids, kt=kt, ut=ut, n_groups=G,
+                    pairs=pairs, dequant_scales=scales))
+                continue
+            if kt is not None and banded_impl in ("pallas", "block"):
                 # VMEM-fused dedup-gather + interp + cosine megakernel: only
                 # the [R,S,G] cosine ever leaves HBM (ops/pallas_banded.py).
                 # f32 tables route through the custom-VJP variant so the
@@ -250,12 +302,18 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                         vfeats, grids, kt=kt, n_groups=G, pairs=pairs,
                         dequant_scales=scales))
                 continue
-            if kt is not None:
+            if kt is not None and not int4:
                 from ..ops.banded_gather import banded_sample_packed
                 sampled = [banded_sample_packed(
                     vfeats[:, v], grids[v], kt,
                     dequant_scale=None if scales is None else scales[:, v])
                     for v in range(V)]                             # [B,R,S,(V-1)C]
+            elif int4:
+                from ..ops.grid_sample import grid_sample_2d_packed_int4
+                sampled = [grid_sample_2d_packed_int4(vfeats[:, v], grids[v])
+                           .astype(jnp.float32)
+                           * scales[:, v][:, None, None, :]
+                           for v in range(V)]                      # [B,R,S,(V-1)C]
             else:
                 sampled = [grid_sample_2d_packed(vfeats[:, v], grids[v])
                            for v in range(V)]                      # [B,R,S,(V-1)C]
@@ -293,7 +351,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 stratified: bool = False, setbg_opaque: bool = False,
                 tables: Optional[dict] = None, fused_cosine: bool = False,
                 banded_kt: Optional[tuple] = None, banded_impl: str = "xla",
-                decoder_impl: str = "xla"):
+                decoder_impl: str = "xla",
+                block_ut: Optional[tuple] = None):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -309,7 +368,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
         img_h, img_w, tables=tables, fused_cosine=fused_cosine,
-        banded_kt=banded_kt, banded_impl=banded_impl)
+        banded_kt=banded_kt, banded_impl=banded_impl, block_ut=block_ut)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)
@@ -323,8 +382,14 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     if decoder_impl == "pallas" and cfg.nerf.view_dep:
         # VMEM-resident decoder megakernel (eval path; ops/pallas_decoder.py)
         from ..ops.pallas_decoder import cond_nerf_decode
+        prec = cfg.get("precision") or {}
+        get = prec.get if hasattr(prec, "get") else (lambda *_: None)
+        md = jnp.bfloat16 if str(get("decoder_matmul_dtype", "")) in \
+            ("bf16", "bfloat16") else None
+        gr = int(get("decoder_group_rays", 4) or 4)
         rgb_samples, density_samples = cond_nerf_decode(
-            params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info)
+            params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
+            group_rays=gr, matmul_dtype=md)
     else:
         rgb_samples, density_samples = apply_cond_nerf(
             params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref,

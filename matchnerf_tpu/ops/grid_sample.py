@@ -133,6 +133,55 @@ def grid_sample_2d_packed(packed, grid, align_corners: bool = True):
     return out.reshape(out_shape)
 
 
+def pack_int4_channels(q):
+    """Nibble-pack biased int4 channel values into bytes.
+
+    q: [..., C] int32 in [0, 15] (value + 8). Byte k packs channels
+    (k, k + C/2): low nibble = channel k, high nibble = channel k + C/2 —
+    so unpacking as concat(low_nibbles, high_nibbles) restores the original
+    channel order. Returns [..., C/2] uint8."""
+    C = q.shape[-1]
+    assert C % 2 == 0
+    half = C // 2
+    return (q[..., :half] | (q[..., half:] << 4)).astype(jnp.uint8)
+
+
+def unpack_int4_rows(rows, out_dtype=jnp.bfloat16):
+    """Unpack `pack_int4_channels` tap rows gathered from a pack_2x2 table.
+
+    rows: [..., 4*Cch] uint8 (4 tap blocks of Cch bytes). Returns
+    [..., 4*2*Cch] with each tap block's channels restored to original order
+    (value range [-8, 7]; dequant scales apply post-interpolation)."""
+    *lead, C4p = rows.shape
+    cch = C4p // 4
+    r = rows.reshape(*lead, 4, cch).astype(jnp.int32)
+    lo = (r & 15) - 8
+    hi = (r >> 4) - 8
+    un = jnp.concatenate([lo, hi], axis=-1)                        # [...,4,2Cch]
+    return un.reshape(*lead, 8 * cch).astype(out_dtype)
+
+
+def grid_sample_2d_packed_int4(packed, grid, align_corners: bool = True):
+    """Bilinear sample from an int4 nibble-packed pack_2x2 table.
+
+    packed: [B,H,W,4*Cch] uint8; grid: [B,...,2]. Returns [B,...,2*Cch]
+    f32 in quantized units (multiply by the per-channel dequant scale)."""
+    B, H, W, C4p = packed.shape
+    C = C4p // 2                                   # logical channels per tap
+    out_shape = grid.shape[:-1] + (C,)
+    rows, wx, wy = packed_rows_and_weights(packed, grid, align_corners)
+    vals = unpack_int4_rows(rows, out_dtype=jnp.float32)           # [B,N,4C]
+    t00 = vals[..., 0 * C:1 * C]
+    t01 = vals[..., 1 * C:2 * C]
+    t10 = vals[..., 2 * C:3 * C]
+    t11 = vals[..., 3 * C:4 * C]
+    wx = wx.astype(vals.dtype)
+    wy = wy.astype(vals.dtype)
+    out = ((t00 * (1 - wx) + t01 * wx) * (1 - wy)
+           + (t10 * (1 - wx) + t11 * wx) * wy)
+    return out.reshape(out_shape)
+
+
 def in_frustum_mask(grid):
     """Visibility mask: 1.0 where grid strictly inside (-1, 1) on both axes
     (models/matchnerf.py:248-250)."""

@@ -72,7 +72,7 @@ def _cells_ranks_weights(grid, H: int, W: int, kt: int,
 
 def _banded_cosine_kernel(*refs, V: int, S: int, kt: int, Cc: int,
                           chunk_c: int, n_groups: int, pairs,
-                          block_rays: int, compute_dtype):
+                          block_rays: int, compute_dtype, int4: bool = False):
     """Transposed layout: the sample axis S rides the 128-lane dimension
     everywhere, so per-sample scalars broadcast naturally and every matmul is
     MXU-shaped.
@@ -101,15 +101,39 @@ def _banded_cosine_kernel(*refs, V: int, S: int, kt: int, Cc: int,
             rank_b = rank_ref[v, b]                                # (1,S) i32
             wv_b = wv_ref[v, b]                                    # (4,S) f32
             onehot = (k_iota == rank_b).astype(jnp.float32)        # (kt,S)
-            rows_b = rows_refs[v][b].astype(compute_dtype)         # (kt,4Cc)
-            acc = None
-            for t in range(4):
-                Wt = (onehot * wv_b[t:t + 1]).astype(compute_dtype)  # (kt,S)
-                part = jax.lax.dot_general(
-                    rows_b[:, t * Cc:(t + 1) * Cc], Wt,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)            # (Cc,S)
-                acc = part if acc is None else acc + part
+            if int4:
+                # nibble-packed rows (kt, 4*Cc/2) uint8: per tap, the low
+                # nibbles are channels [0,Cc/2) and the high nibbles
+                # [Cc/2,Cc) (grid_sample.pack_int4_channels), so the two
+                # half-interps concatenate on the sublane axis in original
+                # channel order — no lane interleave needed.
+                rows_b = rows_refs[v][b].astype(jnp.int32)         # (kt,2Cc)
+                cch = Cc // 2
+                acc_lo = acc_hi = None
+                for t in range(4):
+                    Wt = (onehot * wv_b[t:t + 1]).astype(compute_dtype)
+                    blk = rows_b[:, t * cch:(t + 1) * cch]
+                    lo = ((blk & 15) - 8).astype(compute_dtype)    # (kt,cch)
+                    hi = ((blk >> 4) - 8).astype(compute_dtype)
+                    p_lo = jax.lax.dot_general(
+                        lo, Wt, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)        # (cch,S)
+                    p_hi = jax.lax.dot_general(
+                        hi, Wt, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc_lo = p_lo if acc_lo is None else acc_lo + p_lo
+                    acc_hi = p_hi if acc_hi is None else acc_hi + p_hi
+                acc = jnp.concatenate([acc_lo, acc_hi], axis=0)    # (Cc,S)
+            else:
+                rows_b = rows_refs[v][b].astype(compute_dtype)     # (kt,4Cc)
+                acc = None
+                for t in range(4):
+                    Wt = (onehot * wv_b[t:t + 1]).astype(compute_dtype)  # (kt,S)
+                    part = jax.lax.dot_general(
+                        rows_b[:, t * Cc:(t + 1) * Cc], Wt,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)        # (Cc,S)
+                    acc = part if acc is None else acc + part
             acc = acc * scale_ref[v]
             interp.append(acc)
 
@@ -142,7 +166,8 @@ def banded_interp_cosine(rows_views, rank, wvals, scales, *, chunk_c: int,
         interpret = jax.default_backend() == "cpu"
     V = len(rows_views)
     R, kt, C4 = rows_views[0].shape
-    Cc = C4 // 4
+    int4 = rows_views[0].dtype == jnp.uint8        # nibble-packed marker
+    Cc = (C4 // 4) * (2 if int4 else 1)
     S = rank.shape[-1]
     compute_dtype = jnp.float32 if rows_views[0].dtype == jnp.float32 \
         else jnp.bfloat16
@@ -163,7 +188,7 @@ def banded_interp_cosine(rows_views, rank, wvals, scales, *, chunk_c: int,
     kernel = functools.partial(
         _banded_cosine_kernel, V=V, S=S, kt=kt, Cc=Cc, chunk_c=chunk_c,
         n_groups=n_groups, pairs=pairs, block_rays=block_rays,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, int4=int4)
 
     rows_specs = [pl.BlockSpec((block_rays, kt, C4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM) for _ in range(V)]
@@ -198,7 +223,7 @@ def banded_cosine_scale(vfeats, grids, kt: int, n_groups: int,
     None. Returns [1,R,S,G] f32.
     """
     _, V, H, W, C4 = vfeats.shape
-    Cc = C4 // 4
+    Cc = (C4 // 4) * (2 if vfeats.dtype == jnp.uint8 else 1)
     chunk_c = Cc // (V - 1)
     _, _, R, S, _ = grids.shape
 

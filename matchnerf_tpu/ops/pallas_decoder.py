@@ -50,12 +50,18 @@ def _posenc_legacy_T(x, L: int):
 
 def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                      block_rays: int = 8, group_rays: int = 4,
+                     matmul_dtype=None,
                      interpret: Optional[bool] = None):
     """Pallas counterpart of apply_cond_nerf for the view_dep CondNeRF.
 
     points_3d: [B,R,S,3]; ray_unit: [B,R,S,3]; cond_info dict with feat_info
     [B,R,S,Gf], color_info [B,R,S,3V], mask_info [B,R,S,V].
     Returns (rgb [B,R,S,3], density [B,R,S]).
+
+    matmul_dtype=jnp.bfloat16 rounds the OPERANDS of the wide pointwise
+    matmuls (the MLP/heads, ~95% of the FLOPs) to bf16 with f32
+    accumulation; activations, the 16-wide ray-attention, softmax/LayerNorm
+    stats stay f32 (precision.decoder_matmul_dtype).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -143,8 +149,14 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         view_w, view_b = nxt(), nxt()
         rgb_w, rgb_b = nxt(), nxt()
 
-        def mm(w_ref, x, b_ref=None):
-            y = jax.lax.dot_general(w_ref[:], x, (((0,), (0,)), ((), ())),
+        md = matmul_dtype or jnp.float32
+
+        def mm(w_ref, x, b_ref=None, wide=False):
+            w = w_ref[:]
+            if wide and md != jnp.float32:
+                w = w.astype(md)
+                x = x.astype(md)
+            y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             if b_ref is not None:
                 y = y + b_ref[:]
@@ -167,16 +179,16 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                 [jnp.concatenate([feat_ref[b] for b in bs], axis=1),
                  jnp.concatenate([col_ref[b] for b in bs], axis=1),
                  mask], axis=0)                                      # (22,GS)
-            bias = mm(pts_bias_w, in_feats, pts_bias_b)              # (W,GS)
+            bias = mm(pts_bias_w, in_feats, pts_bias_b, wide=True)   # (W,GS)
 
             h = enc
             for i, (w, bb) in enumerate(layer_w):
-                h = jnp.maximum(mm(w, h, bb) * bias, 0.0)
+                h = jnp.maximum(mm(w, h, bb, wide=True) * bias, 0.0)
                 if i in skip:
                     h = jnp.concatenate([enc, h], axis=0)
 
             # ----- density branch
-            tokg = act(mm(alpha_w, h, alpha_b))                      # (16,GS)
+            tokg = act(mm(alpha_w, h, alpha_b, wide=True))           # (16,GS)
             nvg = jnp.sum(mask, axis=0, keepdims=True)               # (1,GS)
             inv = 1.0 / jnp.sqrt(jnp.float32(d_k))
             alphas = []
@@ -212,10 +224,10 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                 alphas.append(alpha)
 
             # ----- rgb branch (pointwise — stays ray-grouped)
-            feature = mm(feat_w, h, feat_b)                          # (W,GS)
+            feature = mm(feat_w, h, feat_b, wide=True)               # (W,GS)
             hv = jnp.concatenate([feature, ray_enc], axis=0)         # (W+3,GS)
-            hv = jnp.maximum(mm(view_w, hv, view_b), 0.0)            # (W/2,GS)
-            rgb = jax.nn.sigmoid(mm(rgb_w, hv, rgb_b))               # (3,GS)
+            hv = jnp.maximum(mm(view_w, hv, view_b, wide=True), 0.0) # (W/2,GS)
+            rgb = jax.nn.sigmoid(mm(rgb_w, hv, rgb_b, wide=True))    # (3,GS)
 
             for j, b in enumerate(bs):
                 out_ref[b] = jnp.concatenate(

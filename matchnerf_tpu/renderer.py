@@ -37,6 +37,8 @@ def cond_sample_dtype(cfg):
         return jnp.bfloat16
     if name == "int8":
         return jnp.int8
+    if name == "int4":
+        return "int4"      # nibble-packed uint8 carrier (prepare_sampling_tables)
     return jnp.float32
 
 
@@ -54,7 +56,11 @@ def color_sample_dtype(cfg):
 def banded_impl(cfg) -> Optional[str]:
     """Which run-length-deduped ("banded") cond-query path to use, if any.
 
-    - 'pallas' (precision.banded_kernel): dedup gather + VMEM-fused
+    - 'block' (precision.block_kernel): block-level shared dilated-union
+      megakernel on unpacked tables (ops/pallas_block_banded.py) — fastest;
+      requires contiguous slice rays; falls back per-scale to 'pallas' when
+      the measured union bucket overflows
+    - 'pallas' (precision.banded_kernel): per-ray dedup gather + VMEM-fused
       interp+cosine megakernel (ops/pallas_banded.py)
     - 'xla' (precision.banded_gather): pure-XLA dedup + one-hot expansion
       (ops/banded_gather.py) — numerically exact but measured a wash on v5e
@@ -64,6 +70,8 @@ def banded_impl(cfg) -> Optional[str]:
     prec = cfg.get("precision") or {}
     if not hasattr(prec, "get"):
         return None
+    if bool(prec.get("block_kernel", False)):
+        return "block"
     if bool(prec.get("banded_kernel", False)):
         return "pallas"
     if bool(prec.get("banded_gather", False)):
@@ -198,10 +206,13 @@ class Renderer:
             dt = cond_sample_dtype(cfg)
             cdt = color_sample_dtype(cfg)
 
+            keep_unpacked = banded_impl(cfg) == "block"
+
             @jax.jit
             def _prep(imgs, feats):
                 return prepare_sampling_tables(cfg, feats, imgs, feat_dtype=dt,
-                                               color_dtype=cdt)
+                                               color_dtype=cdt,
+                                               keep_unpacked=keep_unpacked)
 
             self._tables_jit = _prep
         return self._tables_jit(ref_images, pair_feats)
@@ -257,7 +268,7 @@ class Renderer:
                   ref_images, pair_feats, tables, rng)
 
     def _get_multislice_fn(self, img_h: int, img_w: int, setbg: bool, G: int,
-                           banded_kt=None):
+                           banded_kt=None, block_ut=None):
         """Jitted scan over G sub-slices per dispatch: keeps per-step memory
         at one slice while amortizing the per-dispatch overhead (the TPU
         relay charges ~30ms per call).
@@ -269,7 +280,8 @@ class Renderer:
         auto-partitioning of pallas_call."""
         impl = banded_impl(self.cfg) or "xla"
         dec_impl = decoder_impl(self.cfg)
-        key = ("multi", img_h, img_w, setbg, G, banded_kt, impl, dec_impl)
+        key = ("multi", img_h, img_w, setbg, G, banded_kt, block_ut, impl,
+               dec_impl)
         if key not in self._render_jit:
             cfg = self.cfg
             prec = cfg.get("precision") or {}
@@ -285,7 +297,8 @@ class Renderer:
                                       img_h=img_h, img_w=img_w,
                                       setbg_opaque=setbg, tables=tables,
                                       fused_cosine=fused, banded_kt=banded_kt,
-                                      banded_impl=impl, decoder_impl=dec_impl)
+                                      banded_impl=impl, decoder_impl=dec_impl,
+                                      block_ut=block_ut)
                     return (), out
                 _, outs = jax.lax.scan(step, (), pix_groups)   # [G,B,R,*]
                 return outs
@@ -330,6 +343,89 @@ class Renderer:
             np.asarray(poses["ref"]["intrinsics"])[0],
             scale_hws, img_h, img_w)
 
+    def _get_block_ut_fn(self, img_h: int, img_w: int, R: int, n_chunks: int,
+                         scale_hws, kts):
+        """Jitted exact measurement of the max dilated block-union size per
+        scale over a full pixel grid (ops/pallas_block_banded.py). One device
+        dispatch + host sync per pose, amortized over every slice."""
+        key = ("block_ut", img_h, img_w, R, n_chunks, tuple(scale_hws),
+               tuple(kts))
+        if key not in self._render_jit:
+            cfg = self.cfg
+            from .models.matchnerf import sample_depth
+            from .ops.pallas_block_banded import block_union_size
+
+            @jax.jit
+            def _measure(pix_groups, tgt_intr, tgt_c2w, tgt_nf,
+                         ref_w2c, ref_intr, ref_nf):
+                inv_scale = jnp.tile(jnp.array([[img_w - 1, img_h - 1]],
+                                               jnp.float32), (1, 1))
+
+                def step(carry, pix_xy):                    # pix_xy [1,R,2]
+                    center, ray = camera.get_center_and_ray(
+                        pix_xy, tgt_intr, tgt_c2w)
+                    depth = sample_depth(cfg, tgt_nf, 1, R)
+                    pts = camera.get_3d_points_from_depth(
+                        center, ray, depth, multi_samples=True)
+                    ndc = jax.vmap(
+                        lambda e, i, n: camera.get_coord_ref_ndc(
+                            e, i, pts, inv_scale, n),
+                        in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_nf)
+                    grids = ndc[..., :2] * 2.0 - 1.0        # [V,1,R,S,2]
+                    sizes = []
+                    for si, (h, w) in enumerate(scale_hws):
+                        m = jnp.int32(0)
+                        for v in range(grids.shape[0]):
+                            m = jnp.maximum(m, block_union_size(
+                                grids[v, 0], h, w, kt=kts[si]))
+                        sizes.append(m)
+                    return jnp.maximum(carry, jnp.stack(sizes)), None
+
+                out, _ = jax.lax.scan(
+                    step, jnp.zeros(len(scale_hws), jnp.int32), pix_groups)
+                return out
+
+            self._render_jit[key] = _measure
+        return self._render_jit[key]
+
+    def _block_ut(self, poses, tgt, tables, img_h: int, img_w: int,
+                  banded_kt):
+        """Per-scale block-union buckets for this pose (device-measured,
+        exact), or None -> the per-ray banded kernel handles the pose."""
+        cfg = self.cfg
+        if (tables is None or banded_kt is None
+                or banded_impl(cfg) != "block"
+                or not (hasattr(tables, "get")
+                        and tables.get("view_feats_unpacked") is not None)):
+            return None
+        if any(k is None for k in banded_kt):
+            return None
+        from .ops.pallas_block_banded import bucket_ut
+        R = 8192
+        n_pix = img_h * img_w
+        n_chunks = (n_pix + R - 1) // R
+        grid = np.asarray(camera.pixel_grid(img_h, img_w,
+                                            legacy=cfg.nerf.legacy_coord))
+        idx = np.arange(n_chunks * R)
+        idx = np.minimum(idx, n_pix - 1)
+        pix_groups = jnp.asarray(grid[idx].reshape(n_chunks, 1, R, 2))
+        scale_hws = [(v.shape[2], v.shape[3])
+                     for v in tables["view_feats_unpacked"]]
+        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
+        fn = self._get_block_ut_fn(img_h, img_w, R, n_chunks,
+                                   scale_hws, banded_kt)
+        sizes = np.asarray(fn(
+            pix_groups, jnp.asarray(np.asarray(tgt["intrinsics"])),
+            jnp.asarray(c2w),
+            jnp.asarray(np.asarray(tgt["near_fars"]).reshape(1, -1)[:, :2]),
+            jnp.asarray(np.asarray(poses["ref"]["extrinsics"])[:, :, :3, :]),
+            jnp.asarray(poses["ref"]["intrinsics"]),
+            jnp.asarray(poses["ref"]["near_fars"])))
+        uts = tuple(bucket_ut(int(n)) for n in sizes)
+        if any(u is None for u in uts):
+            return None
+        return uts
+
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
                          tgt_override: Optional[Dict] = None,
@@ -364,8 +460,13 @@ class Renderer:
         tgt = tgt_override or poses["tgt"]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
         banded_kt = self._banded_kt(poses, tgt, tables, img_h, img_w)
+        # the block kernel's 8-ray blocks must align with the measured
+        # absolute 8-pixel partition (and with shard boundaries under a mesh)
+        shard_r = R // self.mesh.devices.size if self.mesh is not None else R
+        block_ut = self._block_ut(poses, tgt, tables, img_h, img_w,
+                                  banded_kt) if shard_r % 8 == 0 else None
         fn = self._get_multislice_fn(img_h, img_w, self.nerf_setbg_opaque, G,
-                                     banded_kt=banded_kt)
+                                     banded_kt=banded_kt, block_ut=block_ut)
 
         outs: Dict[str, list] = {}
         for gi in range(pix_all.shape[0]):

@@ -79,6 +79,94 @@ def test_banded_kernel_int8_dequant():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
 
 
+def _int4_quantize_pack(feat):
+    """feat [V,H,W,Cc] f32 -> (nibble-packed pack_2x2 table [1,V,H,W,2*Cc],
+    scales [1,V,Cc], quantized values [V,H,W,Cc] f32 in int units)."""
+    from matchnerf_tpu.ops.grid_sample import pack_int4_channels
+
+    amax = np.abs(feat).max(axis=(1, 2), keepdims=True)
+    scale = np.maximum(amax, 1e-12) / 7.0
+    q = np.clip(np.round(feat / scale), -8, 7).astype(np.int32)
+    nib = pack_int4_channels(jnp.asarray(q + 8))                   # [V,H,W,Cc/2]
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(nib)[None]
+    return packed, jnp.asarray(scale[:, 0, 0])[None], q.astype(np.float32)
+
+
+def test_grid_sample_packed_int4_matches_dequantized():
+    from matchnerf_tpu.ops.grid_sample import grid_sample_2d_packed_int4
+
+    rng = np.random.default_rng(7)
+    V, H, W, Cc = 3, 20, 24, 32
+    feat = rng.normal(0, 2, (V, H, W, Cc)).astype(np.float32)
+    packed, scales, q = _int4_quantize_pack(feat)
+    grids = _coherent_grids(rng, V, 8, 16)
+
+    packed_q = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(q))[None]
+    for v in range(V):
+        ref = grid_sample_2d_packed(packed_q[:, v], grids[v]) \
+            * scales[:, v][:, None, None, :]
+        out = grid_sample_2d_packed_int4(packed[:, v], grids[v]) \
+            .astype(jnp.float32) * scales[:, v][:, None, None, :]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-2, atol=1e-3)
+
+
+def test_banded_kernel_int4_matches_dequantized_direct():
+    """int4 nibble-packed kernel == reference cosine on the dequantized
+    quantized table (tap selection and interpolation are exact; bf16 matmul
+    rounding only)."""
+    rng = np.random.default_rng(8)
+    V, H, W, C = 3, 24, 24, 16
+    R, S, G = 16, 32, 2
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    packed, scales, q = _int4_quantize_pack(feat)
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    packed_q = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(q))[None]
+    ref = _reference_cosine(packed_q, grids, C, G, pairs, scales=scales)
+    out = banded_cosine_scale(packed, grids, kt=48, n_groups=G, pairs=pairs,
+                              dequant_scales=scales)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
+def test_prepare_tables_int4_query_paths_agree():
+    """prepare_sampling_tables(feat_dtype='int4') end to end: the direct
+    unpacking path and the banded Pallas kernel agree on the same table."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import (encode, init_matchnerf,
+                                                prepare_sampling_tables)
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=24)
+    B, H, W, R = 1, 32, 32, 12
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, B, H, W, R)
+    ref = jnp.asarray(d["images"][:, :3])
+    feats = encode(params, cfg, ref)
+    tables = prepare_sampling_tables(cfg, feats, ref, feat_dtype="int4")
+    assert all(t.dtype == jnp.uint8 for t in tables["view_feats"])
+    assert all(s is not None for s in tables["view_feat_scales"])
+
+    # straight per-ray segments (epipolar-coherent, as real ray samples are)
+    prng = np.random.default_rng(3)
+    start = prng.normal(0, 0.3, (B, R, 1, 3))
+    step = prng.normal(0, 0.02, (B, R, 1, 3))
+    t = np.arange(24).reshape(1, 1, 24, 1)
+    pts = jnp.asarray((start + step * t).astype(np.float32))
+    kwargs = dict(
+        ref_w2c=jnp.asarray(d["poses"][:, :-1, :3, :]),
+        ref_intr=jnp.asarray(d["intr"][:, :-1]),
+        ref_near_far=jnp.asarray(d["near_fars"][:, :-1]),
+        ref_images=ref, pair_feats=feats, img_h=H, img_w=W, tables=tables)
+    cond_direct, _ = query_cond_info(cfg, pts, **kwargs)
+    cond_banded, _ = query_cond_info(cfg, pts, banded_kt=(16, 16),
+                                     banded_impl="pallas", **kwargs)
+    np.testing.assert_allclose(np.asarray(cond_banded["feat_info"]),
+                               np.asarray(cond_direct["feat_info"]),
+                               atol=2e-2)
+
+
 def test_banded_kernel_ragged_ray_padding():
     """R not divisible by block_rays pads and truncates correctly."""
     rng = np.random.default_rng(2)

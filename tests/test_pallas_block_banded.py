@@ -1,0 +1,171 @@
+"""Parity tests for the block-banded (shared dilated-union) megakernel
+(ops/pallas_block_banded.py) against the direct packed path.
+
+Interpreter mode on the CPU backend; exactness argument: integer tap
+matching + the same folded bilinear stencil, so only float rounding differs.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from matchnerf_tpu.models.gmflow.gmflow import pair_index_lists
+from matchnerf_tpu.ops.grid_sample import pack_2x2
+from matchnerf_tpu.ops.pallas_block_banded import (block_banded_cosine_scale,
+                                                   block_union_size,
+                                                   bucket_ut)
+
+from test_pallas_banded import _coherent_grids, _reference_cosine
+
+
+def test_block_union_size_covers_true_union():
+    rng = np.random.default_rng(0)
+    V, H, W = 3, 32, 40
+    R, S = 24, 32
+    grids = _coherent_grids(rng, V, R, S)
+    for v in range(V):
+        n = int(block_union_size(grids[v, 0], H, W, kt=48, block_rays=8))
+        assert 1 <= n <= 8 * 48 * 4
+        assert bucket_ut(n) is not None
+
+
+def test_block_banded_f32_matches_direct():
+    rng = np.random.default_rng(1)
+    V, H, W, C = 3, 32, 40, 16
+    R, S, G = 24, 32, 4
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    unpacked = jnp.asarray(feat)[None]                             # [1,V,H,W,Cc]
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    ut = max(bucket_ut(int(block_union_size(grids[v, 0], H, W, kt=48)))
+             for v in range(V))
+    ref = _reference_cosine(packed, grids, C, G, pairs)
+    out = block_banded_cosine_scale(unpacked, grids, kt=48, ut=ut,
+                                    n_groups=G, pairs=pairs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_block_banded_int8_dequant():
+    rng = np.random.default_rng(2)
+    V, H, W, C = 3, 24, 24, 16
+    R, S, G = 16, 32, 2
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    amax = np.abs(feat).max(axis=(1, 2), keepdims=True)
+    scale = np.maximum(amax, 1e-12) / 127.0
+    q = np.clip(np.round(feat / scale), -127, 127).astype(np.int8)
+    unpacked = jnp.asarray(q)[None]
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(q))[None]
+    scales = jnp.asarray(scale[:, 0, 0])[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = pair_index_lists(V)
+
+    ut = max(bucket_ut(int(block_union_size(grids[v, 0], H, W, kt=48)))
+             for v in range(V))
+    ref = _reference_cosine(packed, grids, C, G, pairs, scales=scales)
+    out = block_banded_cosine_scale(unpacked, grids, kt=48, ut=ut,
+                                    n_groups=G, pairs=pairs,
+                                    dequant_scales=scales)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-2)
+
+
+def test_render_by_slices_block_kernel_matches_direct():
+    """End-to-end: full-image eval with precision.block_kernel vs direct,
+    including the per-pose device measurement of the union bucket."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+    engaged = {}
+
+    def run(block_kernel):
+        c = DotDict(dict(cfg))
+        c.precision = DotDict({"cond_sample_dtype": "float32",
+                               "banded_kernel": True,
+                               "block_kernel": block_kernel})
+        r = Renderer(c)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        if block_kernel:
+            kt = r._banded_kt(poses, poses["tgt"], tables, H, W)
+            engaged["ut"] = r._block_ut(poses, poses["tgt"], tables, H, W, kt)
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_direct = run(False)
+    out_block = run(True)
+    assert engaged["ut"] is not None, "block path did not engage"
+    np.testing.assert_allclose(out_block["rgb"], out_direct["rgb"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_eval_block_kernel_matches_single_device():
+    """render_by_slices under an 8-device CPU mesh with the block kernel."""
+    import __graft_entry__ as ge
+    from jax.sharding import Mesh
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"cond_sample_dtype": "float32",
+                             "banded_kernel": True, "block_kernel": True,
+                             "decoder_kernel": True})
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    def run(mesh):
+        r = Renderer(cfg, mesh=mesh)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_single = run(None)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    out_mesh = run(mesh)
+    np.testing.assert_allclose(out_mesh["rgb"], out_single["rgb"],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_block_banded_ragged_and_border():
+    """R not divisible by block_rays; grids pushed to the border-clamp
+    region (taps at the image edge carry zero weight)."""
+    rng = np.random.default_rng(3)
+    V, H, W, C = 3, 16, 16, 8
+    R, S, G = 11, 16, 2
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    unpacked = jnp.asarray(feat)[None]
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = np.array(_coherent_grids(rng, V, R, S))
+    grids[:, :, :3] = np.clip(grids[:, :, :3] * 3.0, -1.0, 1.0)  # hit borders
+    grids = jnp.asarray(grids)
+    pairs = pair_index_lists(V)
+
+    gpad = jnp.pad(grids, ((0, 0), (0, 0), (0, 5), (0, 0), (0, 0)),
+                   mode="edge")
+    ut = max(bucket_ut(int(block_union_size(gpad[v, 0], H, W, kt=32)))
+             for v in range(V))
+    ref = _reference_cosine(packed, grids, C, G, pairs)
+    out = block_banded_cosine_scale(unpacked, grids, kt=32, ut=ut,
+                                    n_groups=G, pairs=pairs)
+    assert out.shape == (1, R, S, G)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

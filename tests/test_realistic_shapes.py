@@ -68,7 +68,8 @@ def realistic_batch(rng):
 
 
 def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
-                banded_kt=None, banded_impl="xla", decoder_impl="xla"):
+                banded_kt=None, banded_impl="xla", decoder_impl="xla",
+                block_ut=None, keep_unpacked=False):
     """Render the given pixel coords through the packed-table production
     path; tables_dtype None => no tables (raw 4-tap path)."""
     ref_images = jnp.asarray(batch["images"][:, :V])
@@ -77,7 +78,8 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
     if tables_dtype is not None:
         tables = jax.jit(lambda fs, im: prepare_sampling_tables(
             cfg, fs, im, feat_dtype=tables_dtype,
-            color_dtype=color_dtype))(pair_feats, ref_images)
+            color_dtype=color_dtype,
+            keep_unpacked=keep_unpacked))(pair_feats, ref_images)
     c2w = camera.pose_inverse_legacy_np(batch["extrinsics"][:, -1, :3, :])
     return render_rays(
         params, cfg, jnp.asarray(pix),
@@ -89,7 +91,8 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
         ref_near_far=jnp.asarray(batch["near_fars"][:, :-1]),
         ref_images=ref_images, pair_feats=pair_feats,
         img_h=H, img_w=W, tables=tables, banded_kt=banded_kt,
-        banded_impl=banded_impl, decoder_impl=decoder_impl)
+        banded_impl=banded_impl, decoder_impl=decoder_impl,
+        block_ut=block_ut)
 
 
 def test_oracle_parity_dtu_shapes():
@@ -173,7 +176,7 @@ def test_bf16_tables_psnr_delta_structured():
 
 def test_production_eval_stack_psnr_delta_structured():
     """The full configs/test.yaml precision stack (int8 feature tables, u8
-    color tables, banded+VMEM cosine megakernel, decoder megakernel) vs the
+    color tables, block-banded cosine megakernel, decoder megakernel) vs the
     strict-f32 path at DTU shapes. Same 46.5 dB bar as the bf16 test (0.05 dB
     implied DTU delta)."""
     opts = reference_opts()
@@ -186,29 +189,35 @@ def test_production_eval_stack_psnr_delta_structured():
     batch = realistic_batch(rng)
     # loader-faithful 8-bit images: the u8 color table is exact for these
     batch["images"] = np.round(batch["images"] * 255.0).astype(np.float32) / 255.0
-    ray_idx = np.sort(rng.permutation(H * W)[:1024])
-    pix = np.asarray(camera.pixel_grid(H, W, legacy=True))[ray_idx][None]
+    # contiguous production ray order (the block kernel's gather adjacency)
+    off = ((H * W) // 2 // 8) * 8
+    pix = np.asarray(camera.pixel_grid(H, W, legacy=True))[off:off + 1024][None]
 
-    # host-verified per-scale run bounds, exactly as the renderer computes
+    # per-scale run bounds + union buckets, exactly as the renderer computes
     from matchnerf_tpu.renderer import Renderer, extract_poses
     from matchnerf_tpu.utils import DotDict
     bcfg = DotDict(dict(cfg))
-    bcfg.precision = DotDict({"banded_kernel": True})
+    bcfg.precision = DotDict({"banded_kernel": True, "block_kernel": True})
     ref_images = jnp.asarray(batch["images"][:, :V])
     pair_feats = encode(params, cfg, ref_images)
     tables = prepare_sampling_tables(cfg, pair_feats, ref_images,
                                      feat_dtype=jnp.int8,
-                                     color_dtype=jnp.uint8)
+                                     color_dtype=jnp.uint8,
+                                     keep_unpacked=True)
     poses = extract_poses(batch)
-    banded_kt = Renderer(bcfg)._banded_kt(poses, poses["tgt"], tables, H, W)
+    rend = Renderer(bcfg)
+    banded_kt = rend._banded_kt(poses, poses["tgt"], tables, H, W)
     assert banded_kt is not None and all(k for k in banded_kt), banded_kt
+    block_ut = rend._block_ut(poses, poses["tgt"], tables, H, W, banded_kt)
+    assert block_ut is not None and all(u for u in block_ut), block_ut
 
     rgb_f32 = np.asarray(
         _our_render(params, cfg, batch, pix, tables_dtype=jnp.float32)["rgb"])
     rgb_prod = np.asarray(
         _our_render(params, cfg, batch, pix, tables_dtype=jnp.int8,
                     color_dtype=jnp.uint8, banded_kt=banded_kt,
-                    banded_impl="pallas", decoder_impl="pallas")["rgb"])
+                    banded_impl="block", block_ut=block_ut,
+                    keep_unpacked=True, decoder_impl="pallas")["rgb"])
 
     mse = float(np.mean((rgb_f32 - rgb_prod) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-20))

@@ -75,12 +75,18 @@ def main():
     parser.add_argument("--feat_dtype", type=str, default="bfloat16")
     parser.add_argument("--banded_kt", type=int, default=0)
     parser.add_argument("--banded_impl", type=str, default="xla",
-                        choices=["xla", "pallas"])
+                        choices=["xla", "pallas", "block"])
     parser.add_argument("--decoder_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
     parser.add_argument("--color_dtype", type=str, default="float32")
+    parser.add_argument("--decoder_matmul_dtype", type=str, default="float32")
+    parser.add_argument("--decoder_group_rays", type=int, default=4)
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--rays", type=int, default=8192)
+    parser.add_argument("--pix", type=str, default="random",
+                        choices=["random", "contiguous"],
+                        help="contiguous = production render_by_slices ray "
+                             "order (required for --banded_impl block)")
     parser.add_argument("--dump_hlo", type=str, default="",
                         help="write compiled HLO text here (to look up "
                              "fusion.N names from the trace)")
@@ -94,7 +100,13 @@ def main():
                                                 prepare_sampling_tables,
                                                 render_rays)
 
+    from matchnerf_tpu.utils import DotDict
     cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({
+        "decoder_matmul_dtype": args.decoder_matmul_dtype,
+        "decoder_group_rays": args.decoder_group_rays,
+    })
     B, H, W, R = 1, 512, 640, args.rays
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
     d = ge._synthetic_inputs(cfg, B, H, W, R)
@@ -104,15 +116,48 @@ def main():
     intr = jnp.asarray(d["intr"])
     nf = jnp.asarray(d["near_fars"])
     tgt_c2w = jnp.asarray(d["tgt_c2w"])
-    pix = jnp.asarray(d["pix"])
+    if args.pix == "contiguous":
+        from matchnerf_tpu import camera
+        grid = np.asarray(camera.pixel_grid(H, W, legacy=cfg.nerf.legacy_coord))
+        off = (H * W - R) // 2
+        pix = jnp.asarray(grid[off:off + R][None])
+    else:
+        pix = jnp.asarray(d["pix"])
 
     feat_dtype = jnp.dtype(args.feat_dtype)
     color_dtype = jnp.dtype(args.color_dtype) \
         if args.color_dtype in ("uint8",) else None
     feats = jax.jit(lambda p, x: encode(p, cfg, x))(params, ref)
+    keep_unpacked = args.banded_impl == "block"
     tables = jax.jit(lambda fs, im: prepare_sampling_tables(
-        cfg, fs, im, feat_dtype=feat_dtype, color_dtype=color_dtype))(feats, ref)
+        cfg, fs, im, feat_dtype=feat_dtype, color_dtype=color_dtype,
+        keep_unpacked=keep_unpacked))(feats, ref)
     banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+
+    block_ut = None
+    if keep_unpacked and banded_kt:
+        from matchnerf_tpu.models.matchnerf import (query_cond_info,  # noqa
+                                                    sample_depth)
+        from matchnerf_tpu import camera
+        from matchnerf_tpu.ops.pallas_block_banded import (block_union_size,
+                                                           bucket_ut)
+        # grids for the measurement: project the trace's own ray points
+        center, ray = camera.get_center_and_ray(pix, intr[:, -1], tgt_c2w)
+        depth = sample_depth(cfg, nf[:, -1], 1, pix.shape[1])
+        pts = camera.get_3d_points_from_depth(center, ray, depth, True)
+        inv_scale = jnp.tile(jnp.array([[W - 1, H - 1]], jnp.float32), (1, 1))
+        ndc_all = jax.vmap(
+            lambda e, i, n: camera.get_coord_ref_ndc(e, i, pts, inv_scale, n),
+            in_axes=(1, 1, 1))(poses[:, :-1, :3, :], intr[:, :-1], nf[:, :-1])
+        grids = ndc_all[..., :2] * 2.0 - 1.0
+        uts = []
+        for si, vf in enumerate(tables["view_feats_unpacked"]):
+            h, w = vf.shape[2], vf.shape[3]
+            n = max(int(block_union_size(grids[v, 0], h, w, kt=args.banded_kt))
+                    for v in range(grids.shape[0]))
+            uts.append(bucket_ut(n))
+        block_ut = tuple(uts)
+        print("block_ut =", block_ut, file=sys.stderr)
 
     @jax.jit
     def run(pix_xy, params, tables):
@@ -124,7 +169,8 @@ def main():
                               pair_feats=None, tables=tables,
                               img_h=H, img_w=W, banded_kt=banded_kt,
                               banded_impl=args.banded_impl,
-                              decoder_impl=args.decoder_impl)["rgb"]
+                              decoder_impl=args.decoder_impl,
+                              block_ut=block_ut)["rgb"]
             return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
         carry, _ = jax.lax.scan(step, pix_xy, None, length=4)
         return carry
