@@ -187,41 +187,54 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                 if i in skip:
                     h = jnp.concatenate([enc, h], axis=0)
 
-            # ----- density branch
+            # ----- density branch: the ray transformer. Everything pointwise
+            # (qkv projections, fc, LayerNorm, the two output linears) runs
+            # ray-grouped on (ch, GS); only scores/attn-output drop to
+            # per-ray, and there the 4 heads fold into ONE pair of matmuls
+            # each via a block-masked query (head h's q occupies rows
+            # 4h..4h+4 of columns hS..(h+1)S; rows outside a head are zero,
+            # so the 16-deep contraction computes all 4 head scores at once).
+            # 8 small matmuls/ray -> 2: the kernel was matmul-issue-bound
+            # (measured: attention 9ms of 14, softmax only 1.4ms).
             tokg = act(mm(alpha_w, h, alpha_b, wide=True))           # (16,GS)
+            tokg = tokg + jnp.concatenate([postab_ref[:]] * GR, axis=1)
             nvg = jnp.sum(mask, axis=0, keepdims=True)               # (1,GS)
             inv = 1.0 / jnp.sqrt(jnp.float32(d_k))
-            alphas = []
+            wqkv = jnp.concatenate([wq[:], wk[:], wv[:]], axis=1)    # (16,48)
+            qkv = jax.lax.dot_general(wqkv, tokg, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            # static head masks
+            c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
+            hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
+            headmask = (c16 // d_k == hS).astype(jnp.float32)        # (16,4S)
+            outs_j = []
             for j in range(GR):
-                tok = tokg[:, j * S:(j + 1) * S] + postab_ref[:]     # (16,S)
-                nv = nvg[:, j * S:(j + 1) * S]
-                maskq = (nv > 1.0).astype(jnp.float32)               # (1,S)
-                q = mm(wq, tok)
-                k = mm(wk, tok)
-                v = mm(wv, tok)
-                heads = []
-                for hh in range(n_head):
-                    qh = q[hh * d_k:(hh + 1) * d_k] * inv            # (dk,S)
-                    kh = k[hh * d_k:(hh + 1) * d_k]
-                    vh = v[hh * d_k:(hh + 1) * d_k]
-                    scoresT = jax.lax.dot_general(
-                        kh, qh, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)          # (Sk,Sq)
-                    attnT = jax.nn.softmax(scoresT, axis=0)
-                    oh = jnp.dot(vh, attnT,
-                                 preferred_element_type=jnp.float32)
-                    vmean = jnp.mean(vh, axis=1, keepdims=True)      # (dk,1)
-                    heads.append(jnp.where(maskq > 0, oh, vmean))
-                cat = jnp.concatenate(heads, axis=0)                 # (16,S)
-                o = mm(fc, cat) + tok
-                mu = jnp.mean(o, axis=0, keepdims=True)
-                var = jnp.mean((o - mu) * (o - mu), axis=0, keepdims=True)
-                o = (o - mu) / jnp.sqrt(var + 1e-6) * ln_s[:] + ln_b[:]
-                o = act(mm(oa0_w, o, oa0_b))
-                alpha = jnp.maximum(mm(oa1_w, o, oa1_b), 0.0)        # (1,S)
-                if density_maskfill:
-                    alpha = jnp.where(nv < 1.0, 0.0, alpha)
-                alphas.append(alpha)
+                q = qkv[0:16, j * S:(j + 1) * S] * inv               # (16,S)
+                k = qkv[16:32, j * S:(j + 1) * S]
+                v = qkv[32:48, j * S:(j + 1) * S]
+                qp = jnp.concatenate([q] * n_head, axis=1) * headmask
+                scoresT = jax.lax.dot_general(
+                    k, qp, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (S,4S)
+                attnT = jax.nn.softmax(scoresT, axis=0)
+                out_all = jax.lax.dot_general(
+                    v, attnT, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (16,4S)
+                cat = sum(out_all[:, hh * S:(hh + 1) * S]
+                          * headmask[:, hh * S:hh * S + 1]
+                          for hh in range(n_head))                   # (16,S)
+                vmean = jnp.mean(v, axis=1, keepdims=True)           # (16,1)
+                maskq = nvg[:, j * S:(j + 1) * S] > 1.0              # (1,S)
+                outs_j.append(jnp.where(maskq, cat, vmean))
+            o = mm(fc, jnp.concatenate(outs_j, axis=1)) + tokg       # (16,GS)
+            mu = jnp.mean(o, axis=0, keepdims=True)
+            var = jnp.mean((o - mu) * (o - mu), axis=0, keepdims=True)
+            o = (o - mu) / jnp.sqrt(var + 1e-6) * ln_s[:] + ln_b[:]
+            o = act(mm(oa0_w, o, oa0_b))
+            alphag = jnp.maximum(mm(oa1_w, o, oa1_b), 0.0)           # (1,GS)
+            if density_maskfill:
+                alphag = jnp.where(nvg < 1.0, 0.0, alphag)
+            alphas = [alphag[:, j * S:(j + 1) * S] for j in range(GR)]
 
             # ----- rgb branch (pointwise — stays ray-grouped)
             feature = mm(feat_w, h, feat_b, wide=True)               # (W,GS)
