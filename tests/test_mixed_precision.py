@@ -31,7 +31,10 @@ def test_bf16_encoder_close_to_f32():
         assert np.isfinite(b).all()
         denom = np.abs(a).mean() + 1e-6
         rel = np.abs(a - b).mean() / denom
-        assert rel < 2e-2, f"bf16 encoder drifted: rel {rel}"
+        # 2.5e-2: includes the bf16 InstanceNorm normalize rounding (the
+        # fused single-pass form, 25.5 -> 13.9 ms/step; measured rel 0.021
+        # vs the old always-f32-elementwise form's ~0.019)
+        assert rel < 2.5e-2, f"bf16 encoder drifted: rel {rel}"
 
 
 def test_bf16_train_step_runs_and_tracks_f32():
