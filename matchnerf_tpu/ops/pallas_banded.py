@@ -462,6 +462,9 @@ def _banded_trainable_bwd(kt, n_groups, pairs, block_rays, res, g):
 
     d_flat = []
     for v in range(V):
+        # plain scatter-add: pre-sorting the indices (argsort + row permute
+        # for indices_are_sorted=True) measured WORSE (+2ms/step) — the
+        # permute costs more than the sorted scatter saves
         dv = jnp.zeros((H * W, C4), jnp.float32).at[
             taps[v].reshape(R * kt)].add(d_rows[v].reshape(R * kt, C4),
                                          mode="promise_in_bounds")

@@ -343,11 +343,71 @@ class Renderer:
             np.asarray(poses["ref"]["intrinsics"])[0],
             scale_hws, img_h, img_w)
 
-    def _get_block_ut_fn(self, img_h: int, img_w: int, R: int, n_chunks: int,
-                         scale_hws, kts):
-        """Jitted exact measurement of the max dilated block-union size per
-        scale over a full pixel grid (ops/pallas_block_banded.py). One device
-        dispatch + host sync per pose, amortized over every slice."""
+    def _get_pose_prep_fn(self, img_h: int, img_w: int, R: int,
+                          n_chunks: int, scale_hws):
+        """Jitted per-pose prep: z-safety, the per-ray run bound (the device
+        mirror of `banded_kt_host` — 0.44s of host numpy per pose), and the
+        exact max dilated block-union size per scale
+        (ops/pallas_block_banded.py). ONE device dispatch + host sync per
+        pose, amortized over every slice of the image."""
+        key = ("pose_prep", img_h, img_w, R, n_chunks, tuple(scale_hws))
+        if key not in self._render_jit:
+            cfg = self.cfg
+            from .models.matchnerf import sample_depth
+            S = int(cfg.nerf.sample_intvs)
+
+            @jax.jit
+            def _endpoints(pix_all, tgt_intr, tgt_c2w, tgt_nf,
+                           ref_w2c, ref_intr, ref_nf):
+                """pix_all [1,HW,2] -> (steps [n_scales] i32, zok bool).
+                Endpoint-only projections (2 depths), no chunking."""
+                inv_scale = jnp.tile(jnp.array([[img_w - 1, img_h - 1]],
+                                               jnp.float32), (1, 1))
+                center, ray = camera.get_center_and_ray(
+                    pix_all, tgt_intr, tgt_c2w)
+                depth = sample_depth(cfg, tgt_nf, 1, pix_all.shape[1])
+                depth2 = jnp.concatenate([depth[:, :, :1],
+                                          depth[:, :, S - 1:S]], axis=2)
+                pts = camera.get_3d_points_from_depth(
+                    center, ray, depth2, multi_samples=True)   # [1,HW,2,3]
+                ndc = jax.vmap(
+                    lambda e, i, n: camera.get_coord_ref_ndc(
+                        e, i, pts, inv_scale, n),
+                    in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_nf)
+                grids = ndc[..., :2] * 2.0 - 1.0               # [V,1,HW,2,2]
+                # z-safety at the sample endpoints: z is affine in depth, so
+                # z>0 at both ends => z>0 (monotone projection) throughout
+                ep = pts.reshape(-1, 3)
+
+                def zmin(e):                                   # e [1,3,4]
+                    pr = ep @ jnp.swapaxes(e[0, :, :3], 0, 1) + e[0, :, 3]
+                    return jnp.min(pr[..., 2])
+                zok = jnp.min(jax.vmap(zmin, in_axes=1)(ref_w2c)) > 1e-6
+                e0 = grids[:, 0, :, 0, :]                      # [V,HW,2]
+                e1 = grids[:, 0, :, 1, :]
+                steps = []
+                for (h, w) in scale_hws:
+                    def cell_xy(e):
+                        xs = jnp.clip((e[..., 0] * 0.5 + 0.5) * (w - 1),
+                                      0, w - 1)
+                        ys = jnp.clip((e[..., 1] * 0.5 + 0.5) * (h - 1),
+                                      0, h - 1)
+                        return (jnp.floor(xs).astype(jnp.int32),
+                                jnp.floor(ys).astype(jnp.int32))
+                    x0, y0 = cell_xy(e0)
+                    x1, y1 = cell_xy(e1)
+                    steps.append(
+                        jnp.max(jnp.abs(x0 - x1) + jnp.abs(y0 - y1)) + 1)
+                return jnp.stack(steps), zok
+
+            self._render_jit[key] = _endpoints
+        return self._render_jit[key]
+
+    def _get_block_ut_measure_fn(self, img_h: int, img_w: int, R: int,
+                                 n_chunks: int, scale_hws, kts):
+        """Jitted exact max dilated block-union size per scale, with the
+        per-ray run cap already bucketed (small sorts; the S-capped variant
+        measured 2x slower)."""
         key = ("block_ut", img_h, img_w, R, n_chunks, tuple(scale_hws),
                tuple(kts))
         if key not in self._render_jit:
@@ -388,10 +448,50 @@ class Renderer:
             self._render_jit[key] = _measure
         return self._render_jit[key]
 
+    def _pose_prep(self, poses, tgt, tables, img_h: int, img_w: int):
+        """Device-side per-pose prep for the block path: returns
+        (banded_kt tuple or None, block_ut tuple or None)."""
+        cfg = self.cfg
+        from .ops.banded_gather import bucket_kt
+        from .ops.pallas_block_banded import bucket_ut
+        S = int(cfg.nerf.sample_intvs)
+        R = 8192
+        n_pix = img_h * img_w
+        n_chunks = (n_pix + R - 1) // R
+        grid = np.asarray(camera.pixel_grid(img_h, img_w,
+                                            legacy=cfg.nerf.legacy_coord))
+        idx = np.minimum(np.arange(n_chunks * R), n_pix - 1)
+        pix_groups = jnp.asarray(grid[idx].reshape(n_chunks, 1, R, 2))
+        scale_hws = [(v.shape[2], v.shape[3])
+                     for v in tables["view_feats_unpacked"]]
+        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
+        args = (jnp.asarray(np.asarray(tgt["intrinsics"])),
+                jnp.asarray(c2w),
+                jnp.asarray(np.asarray(tgt["near_fars"]).reshape(1, -1)[:, :2]),
+                jnp.asarray(np.asarray(poses["ref"]["extrinsics"])[:, :, :3, :]),
+                jnp.asarray(poses["ref"]["intrinsics"]),
+                jnp.asarray(poses["ref"]["near_fars"]))
+        ep_fn = self._get_pose_prep_fn(img_h, img_w, R, n_chunks, scale_hws)
+        st, zok = ep_fn(pix_groups.reshape(1, n_chunks * R, 2), *args)
+        if not bool(zok):
+            return None, None
+        kts = tuple(bucket_kt(int(b) + 4, S) for b in np.asarray(st))
+        if any(k is None for k in kts):
+            return None, None
+        ut_fn = self._get_block_ut_measure_fn(img_h, img_w, R, n_chunks,
+                                              scale_hws, kts)
+        ut = ut_fn(pix_groups, *args)
+        uts = tuple(bucket_ut(int(n)) for n in np.asarray(ut))
+        if any(u is None for u in uts):
+            return kts, None
+        return kts, uts
+
     def _block_ut(self, poses, tgt, tables, img_h: int, img_w: int,
                   banded_kt):
         """Per-scale block-union buckets for this pose (device-measured,
-        exact), or None -> the per-ray banded kernel handles the pose."""
+        exact), or None -> the per-ray banded kernel handles the pose.
+        Thin wrapper over `_pose_prep` (kept for tests/callers that already
+        hold a host-computed banded_kt)."""
         cfg = self.cfg
         if (tables is None or banded_kt is None
                 or banded_impl(cfg) != "block"
@@ -400,31 +500,7 @@ class Renderer:
             return None
         if any(k is None for k in banded_kt):
             return None
-        from .ops.pallas_block_banded import bucket_ut
-        R = 8192
-        n_pix = img_h * img_w
-        n_chunks = (n_pix + R - 1) // R
-        grid = np.asarray(camera.pixel_grid(img_h, img_w,
-                                            legacy=cfg.nerf.legacy_coord))
-        idx = np.arange(n_chunks * R)
-        idx = np.minimum(idx, n_pix - 1)
-        pix_groups = jnp.asarray(grid[idx].reshape(n_chunks, 1, R, 2))
-        scale_hws = [(v.shape[2], v.shape[3])
-                     for v in tables["view_feats_unpacked"]]
-        c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
-        fn = self._get_block_ut_fn(img_h, img_w, R, n_chunks,
-                                   scale_hws, banded_kt)
-        sizes = np.asarray(fn(
-            pix_groups, jnp.asarray(np.asarray(tgt["intrinsics"])),
-            jnp.asarray(c2w),
-            jnp.asarray(np.asarray(tgt["near_fars"]).reshape(1, -1)[:, :2]),
-            jnp.asarray(np.asarray(poses["ref"]["extrinsics"])[:, :, :3, :]),
-            jnp.asarray(poses["ref"]["intrinsics"]),
-            jnp.asarray(poses["ref"]["near_fars"])))
-        uts = tuple(bucket_ut(int(n)) for n in sizes)
-        if any(u is None for u in uts):
-            return None
-        return uts
+        return self._pose_prep(poses, tgt, tables, img_h, img_w)[1]
 
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
@@ -448,7 +524,10 @@ class Renderer:
         grid = np.asarray(camera.pixel_grid(img_h, img_w,
                                             legacy=self.cfg.nerf.legacy_coord))
         n_slices = (n_pix + R - 1) // R
-        G = max(1, min(int(self.cfg.nerf.get("slices_per_dispatch", 4)), n_slices))
+        # 10 x 8192-ray slices per dispatch: 4 dispatches per DTU image.
+        # Measured 3.54s -> 3.18s/image vs G=4 (relay overhead ~30ms/call);
+        # the scan keeps only ONE slice's intermediates live at a time
+        G = max(1, min(int(self.cfg.nerf.get("slices_per_dispatch", 10)), n_slices))
 
         # all slice pixel coords, padded to a multiple of G slices
         idx = np.arange(n_pix)
@@ -459,12 +538,20 @@ class Renderer:
 
         tgt = tgt_override or poses["tgt"]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
-        banded_kt = self._banded_kt(poses, tgt, tables, img_h, img_w)
         # the block kernel's 8-ray blocks must align with the measured
         # absolute 8-pixel partition (and with shard boundaries under a mesh)
         shard_r = R // self.mesh.devices.size if self.mesh is not None else R
-        block_ut = self._block_ut(poses, tgt, tables, img_h, img_w,
-                                  banded_kt) if shard_r % 8 == 0 else None
+        block_ut = None
+        if (banded_impl(self.cfg) == "block" and tables is not None
+                and hasattr(tables, "get")
+                and tables.get("view_feats_unpacked") is not None
+                and c2w.shape[0] == 1 and shard_r % 8 == 0):
+            # fused device prep: z-safety + run bound + union buckets in one
+            # dispatch (the host numpy bound alone cost 0.44s/pose)
+            banded_kt, block_ut = self._pose_prep(poses, tgt, tables,
+                                                  img_h, img_w)
+        else:
+            banded_kt = self._banded_kt(poses, tgt, tables, img_h, img_w)
         fn = self._get_multislice_fn(img_h, img_w, self.nerf_setbg_opaque, G,
                                      banded_kt=banded_kt, block_ut=block_ut)
 
