@@ -101,17 +101,25 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     else:
         postab = jnp.zeros((16, S), jnp.float32)
 
-    # ---- weights in A^T B orientation ([in,out] as stored; bias (out,1))
+    # ---- weights in A^T B orientation ([in,out] as stored; bias (out,1)).
+    # With matmul_dtype=bf16 the wide-MLP weights are cast ONCE here (VMEM
+    # halves too); in-kernel per-matmul operand casts measured a wash.
+    md = matmul_dtype or jnp.float32
     wl = []
     def addw(w):
         wl.append(w.astype(jnp.float32))
+    def addw_md(w):
+        wl.append(w.astype(md))
+    def addlin_md(lin):
+        addw_md(lin["w"])
+        addw(lin["b"][:, None])
     def addlin(lin):
         addw(lin["w"])
         addw(lin["b"][:, None])
-    addlin(p["pts_bias"])
+    addlin_md(p["pts_bias"])
     for lp in p["pts_linears"]:
-        addlin(lp)
-    addlin(p["alpha_linear"])
+        addlin_md(lp)
+    addlin_md(p["alpha_linear"])
     ra = p["ray_attention"]
     addw(ra["w_qs"]["w"])
     addw(ra["w_ks"]["w"])
@@ -121,9 +129,9 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     addw(ra["layer_norm"]["bias"][:, None])
     addlin(p["out_alpha_linear"][0])
     addlin(p["out_alpha_linear"][1])
-    addlin(p["feature_linear"])
-    addlin(p["views_linears"][0])
-    addlin(p["rgb_linear"])
+    addlin_md(p["feature_linear"])
+    addlin_md(p["views_linears"][0])
+    addlin_md(p["rgb_linear"])
 
     n_layers = len(p["pts_linears"])
     act = _act(act_name)
@@ -154,8 +162,7 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         def mm(w_ref, x, b_ref=None, wide=False):
             w = w_ref[:]
             if wide and md != jnp.float32:
-                w = w.astype(md)
-                x = x.astype(md)
+                x = x.astype(md)          # weights already stored in md
             y = jax.lax.dot_general(w, x, (((0,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32)
             if b_ref is not None:
