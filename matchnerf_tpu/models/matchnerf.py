@@ -166,11 +166,10 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
             view_scales.append(None)
         if keep_unpacked:
             # the block-banded kernel gathers from the 4x-smaller unpacked
-            # table (its dilated union covers every bilinear tap); not
-            # supported for nibble-packed int4
-            assert stacked.dtype != jnp.uint8, \
-                "block kernel tables don't support int4"
-            view_unpacked.append(stacked)
+            # table (its dilated union covers every bilinear tap); int4
+            # scales store None -> that scale falls back per-ray
+            view_unpacked.append(None if stacked.dtype == jnp.uint8
+                                 else stacked)
         packed = pack_2x2(stacked.reshape(B * n_views, h, w, -1))
         view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
@@ -278,6 +277,7 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
             unpacked = (tables.get("view_feats_unpacked")
                         if hasattr(tables, "get") else None)
             if (kt is not None and ut is not None and unpacked is not None
+                    and unpacked[scale_idx] is not None
                     and banded_impl == "block"):
                 # block-level shared dilated-union megakernel: unpacked (4x
                 # smaller, gather-resident) tables, one matmul for all four

@@ -32,14 +32,20 @@ def cond_sample_dtype(cfg):
     parity runs."""
     prec = cfg.get("precision") or {}
     name = prec.get("cond_sample_dtype", "bfloat16") if hasattr(prec, "get") else "bfloat16"
-    name = str(name)
-    if name in ("bf16", "bfloat16"):
-        return jnp.bfloat16
-    if name == "int8":
-        return jnp.int8
-    if name == "int4":
-        return "int4"      # nibble-packed uint8 carrier (prepare_sampling_tables)
-    return jnp.float32
+
+    def one(n):
+        n = str(n)
+        if n in ("bf16", "bfloat16"):
+            return jnp.bfloat16
+        if n == "int8":
+            return jnp.int8
+        if n.startswith("int4"):
+            return n       # nibble-packed uint8 carrier, optional "int4pXX"
+        return jnp.float32
+
+    if isinstance(name, (list, tuple)):
+        return [one(n) for n in name]      # per-scale (e.g. [int4, int8])
+    return one(name)
 
 
 def color_sample_dtype(cfg):
@@ -462,8 +468,7 @@ class Renderer:
                                             legacy=cfg.nerf.legacy_coord))
         idx = np.minimum(np.arange(n_chunks * R), n_pix - 1)
         pix_groups = jnp.asarray(grid[idx].reshape(n_chunks, 1, R, 2))
-        scale_hws = [(v.shape[2], v.shape[3])
-                     for v in tables["view_feats_unpacked"]]
+        scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
         args = (jnp.asarray(np.asarray(tgt["intrinsics"])),
                 jnp.asarray(c2w),

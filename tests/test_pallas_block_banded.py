@@ -144,6 +144,47 @@ def test_sharded_eval_block_kernel_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_per_scale_dtype_list_mixed_int4():
+    """cond_sample_dtype as a per-scale list ([int4, int8]): the int4 scale
+    falls back to the per-ray path under block_kernel, the int8 scale rides
+    the block kernel; whole-image render matches the direct path on the
+    same quantized tables."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    def run(kernels):
+        c = DotDict(dict(cfg))
+        c.precision = DotDict({"cond_sample_dtype": ["int4", "int8"],
+                               "banded_kernel": kernels,
+                               "block_kernel": kernels,
+                               "decoder_kernel": False})
+        r = Renderer(c)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        if kernels:
+            assert tables["view_feats"][0].dtype == jnp.uint8       # int4
+            assert tables["view_feats"][1].dtype == jnp.int8
+            assert tables["view_feats_unpacked"][0] is None
+            assert tables["view_feats_unpacked"][1] is not None
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_direct = run(False)
+    out_kern = run(True)
+    np.testing.assert_allclose(out_kern["rgb"], out_direct["rgb"],
+                               rtol=1e-3, atol=2e-4)
+
+
 def test_block_banded_ragged_and_border():
     """R not divisible by block_rays; grids pushed to the border-clamp
     region (taps at the image edge carry zero weight)."""
