@@ -9,10 +9,13 @@
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def instance_norm_2d(x, eps: float = 1e-5):
     """x: [B,H,W,C]; normalize each (sample, channel) over H,W. No affine.
 
@@ -23,16 +26,46 @@ def instance_norm_2d(x, eps: float = 1e-5):
     so no f32 copy of the activation is ever materialized — the two-pass
     form cost 23.6 ms/step at DTU train shapes, ~18% of the whole step)
     and the normalize runs in bf16 (rounding below the bf16 activation
-    quantization already in the policy)."""
+    quantization already in the policy).
+
+    Custom VJP: the analytic dx = inv*(dy - mean(dy) - xh*mean(dy*xh))
+    in two fused reduction passes — autodiff's var backward alone measured
+    6.2 ms/step at DTU train shapes."""
+    y, _ = _in2d_fwd_impl(x, eps)
+    return y
+
+
+def _in2d_fwd_impl(x, eps):
     if x.dtype == jnp.float32:
-        mean = x.mean(axis=(1, 2), keepdims=True)
+        m = x.mean(axis=(1, 2), keepdims=True)
         var = x.var(axis=(1, 2), keepdims=True)
-        return (x - mean) / jnp.sqrt(var + eps)
+        inv = 1.0 / jnp.sqrt(var + eps)
+        return (x - m) * inv, (m, inv)
     m = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
     var = jnp.mean(jnp.square(x.astype(jnp.float32) - m), axis=(1, 2),
                    keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - m.astype(x.dtype)) * inv.astype(x.dtype)
+    return (x - m.astype(x.dtype)) * inv.astype(x.dtype), (m, inv)
+
+
+def _in2d_fwd(x, eps):
+    y, (m, inv) = _in2d_fwd_impl(x, eps)
+    return y, (x, m, inv)
+
+
+def _in2d_bwd(eps, res, dy):
+    x, m, inv = res
+    f32 = x.dtype == jnp.float32
+    xh = (x - m.astype(x.dtype)) * inv.astype(x.dtype)     # recompute
+    a = jnp.mean(dy, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    b = jnp.mean((dy * xh).astype(jnp.float32), axis=(1, 2), keepdims=True) \
+        if not f32 else jnp.mean(dy * xh, axis=(1, 2), keepdims=True)
+    dx = (dy - a.astype(x.dtype) - xh * b.astype(x.dtype)) \
+        * inv.astype(x.dtype)
+    return (dx,)
+
+
+instance_norm_2d.defvjp(_in2d_fwd, _in2d_bwd)
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-5):

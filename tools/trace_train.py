@@ -19,6 +19,7 @@ def main():
                         help="route the cond query through the custom-VJP "
                              "banded kernel with this bucket per scale")
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--attention_backend", type=str, default="auto")
     parser.add_argument("--top", type=int, default=35)
     parser.add_argument("--dump_hlo", type=str, default="")
     args = parser.parse_args()
@@ -34,6 +35,8 @@ def main():
 
     cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
     cfg = DotDict(dict(cfg))
+    cfg.encoder = DotDict(dict(cfg.encoder))
+    cfg.encoder.attention_backend = args.attention_backend
     cfg.precision = DotDict({"encoder_compute_dtype": args.encoder_dtype,
                              "remat_encoder": bool(args.remat)})
     cfg.optim = DotDict({
