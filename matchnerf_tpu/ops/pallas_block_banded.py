@@ -153,10 +153,12 @@ def block_union_size(grids_v, H: int, W: int, kt: int, block_rays: int = 8):
 
 def _block_cosine_kernel(*refs, V: int, S: int, ut: int, Cc: int,
                          chunk_c: int, n_groups: int, pairs,
-                         block_rays: int, compute_dtype):
-    """refs: V rows refs (1,ut,Cc), V union refs (1,ut,1) i32, V cell refs
-    (1,BR,2,S) i32, V weight refs (1,BR,4,S) f32, scale_ref (V,Cc,1) f32,
-    out_ref (1,BR,G,S) f32."""
+                         block_rays: int, compute_dtype,
+                         blocks_per_step: int = 1):
+    """refs: V rows refs (BPS,ut,Cc), V union refs (BPS,ut,1) i32, V cell
+    refs (BPS,BR,2,S) i32, V weight refs (BPS,BR,4,S) f32, scale_ref
+    (V,Cc,1) f32, out_ref (BPS,BR,G,S) f32. BPS 8-ray blocks (each with its
+    own union) are processed per grid step to amortize grid overhead."""
     rows_refs = refs[:V]
     u_refs = refs[V:2 * V]
     cell_refs = refs[2 * V:3 * V]
@@ -167,49 +169,54 @@ def _block_cosine_kernel(*refs, V: int, S: int, ut: int, Cc: int,
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 1)
     sel = (c_iota // Cg == g_iota).astype(jnp.float32)             # (G,chunk)
 
-    rows = [rows_refs[v][0].astype(compute_dtype) for v in range(V)]
-    unions = [u_refs[v][0] for v in range(V)]                      # (ut,1) i32
+    for nb in range(blocks_per_step):
+        rows = [rows_refs[v][nb].astype(compute_dtype) for v in range(V)]
+        unions = [u_refs[v][nb] for v in range(V)]                 # (ut,1) i32
 
-    for b in range(block_rays):
-        interp = []
-        for v in range(V):
-            c00 = cell_refs[v][0, b, 0:1]                          # (1,S) i32
-            c10 = cell_refs[v][0, b, 1:2]
-            wv = w_refs[v][0, b]                                   # (4,S) f32
-            u = unions[v]                                          # (ut,1)
-            o00 = (u == c00).astype(jnp.float32)                   # (ut,S)
-            o10 = (u == c10).astype(jnp.float32)
-            # sorted-unique union: pos(c+1) == pos(c)+1 when both present,
-            # so the x+1 taps are sublane rolls (clamped taps carry zero
-            # bilinear weight, so stray rolls add zeros)
-            o01 = pltpu.roll(o00, 1, 0)
-            o11 = pltpu.roll(o10, 1, 0)
-            Wmat = (o00 * wv[0:1] + o01 * wv[1:2]
-                    + o10 * wv[2:3] + o11 * wv[3:4])               # (ut,S)
-            acc = jax.lax.dot_general(
-                rows[v], Wmat.astype(compute_dtype),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)                # (Cc,S)
-            interp.append(acc * scale_ref[v])
+        for b in range(block_rays):
+            interp = []
+            for v in range(V):
+                c00 = cell_refs[v][nb, b, 0:1]                     # (1,S) i32
+                c10 = cell_refs[v][nb, b, 1:2]
+                wv = w_refs[v][nb, b]                              # (4,S) f32
+                u = unions[v]                                      # (ut,1)
+                o00 = (u == c00).astype(jnp.float32)               # (ut,S)
+                o10 = (u == c10).astype(jnp.float32)
+                # sorted-unique union: pos(c+1) == pos(c)+1 when both
+                # present, so the x+1 taps are sublane rolls (clamped taps
+                # carry zero bilinear weight, so stray rolls add zeros)
+                o01 = pltpu.roll(o00, 1, 0)
+                o11 = pltpu.roll(o10, 1, 0)
+                Wmat = (o00 * wv[0:1] + o01 * wv[1:2]
+                        + o10 * wv[2:3] + o11 * wv[3:4])           # (ut,S)
+                acc = jax.lax.dot_general(
+                    rows[v], Wmat.astype(compute_dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)            # (Cc,S)
+                interp.append(acc * scale_ref[v])
 
-        acc_pairs = None
-        for (i, j) in pairs:
-            ca, cb = j - 1, i
-            fa = interp[i][ca * chunk_c:(ca + 1) * chunk_c]        # (chunk,S)
-            fb = interp[j][cb * chunk_c:(cb + 1) * chunk_c]
-            dots = jnp.dot(sel, fa * fb, preferred_element_type=jnp.float32)
-            na2 = jnp.dot(sel, fa * fa, preferred_element_type=jnp.float32)
-            nb2 = jnp.dot(sel, fb * fb, preferred_element_type=jnp.float32)
-            na = jnp.maximum(jnp.sqrt(na2), 1e-8)                  # (G,S)
-            nb = jnp.maximum(jnp.sqrt(nb2), 1e-8)
-            cosg = dots / (na * nb)
-            acc_pairs = cosg if acc_pairs is None else acc_pairs + cosg
-        out_ref[0, b] = acc_pairs / len(pairs)                     # (G,S)
+            acc_pairs = None
+            for (i, j) in pairs:
+                ca, cb = j - 1, i
+                fa = interp[i][ca * chunk_c:(ca + 1) * chunk_c]    # (chunk,S)
+                fb = interp[j][cb * chunk_c:(cb + 1) * chunk_c]
+                dots = jnp.dot(sel, fa * fb,
+                               preferred_element_type=jnp.float32)
+                na2 = jnp.dot(sel, fa * fa,
+                              preferred_element_type=jnp.float32)
+                nb2 = jnp.dot(sel, fb * fb,
+                              preferred_element_type=jnp.float32)
+                na = jnp.maximum(jnp.sqrt(na2), 1e-8)              # (G,S)
+                nbn = jnp.maximum(jnp.sqrt(nb2), 1e-8)
+                cosg = dots / (na * nbn)
+                acc_pairs = cosg if acc_pairs is None else acc_pairs + cosg
+            out_ref[nb, b] = acc_pairs / len(pairs)                # (G,S)
 
 
 def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
                               pairs: List[Tuple[int, int]],
                               dequant_scales=None, block_rays: int = 8,
+                              blocks_per_step: int = 2,
                               interpret: Optional[bool] = None):
     """Full per-scale block-banded cosine query.
 
@@ -254,33 +261,46 @@ def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
     else:
         scales = dequant_scales.reshape(V, Cc).astype(jnp.float32)
 
+    # pad NB to a multiple of blocks_per_step (grid-overhead amortization)
+    bps = max(1, int(blocks_per_step))
+    nb_pad = (-NB) % bps
+    if nb_pad:
+        rows_l = [jnp.pad(r, ((0, nb_pad), (0, 0), (0, 0))) for r in rows_l]
+        u_l = [jnp.pad(u, ((0, nb_pad), (0, 0), (0, 0)),
+                       constant_values=-1) for u in u_l]
+        cells_l = [jnp.pad(c, ((0, nb_pad), (0, 0), (0, 0), (0, 0)))
+                   for c in cells_l]
+        w4_l = [jnp.pad(w, ((0, nb_pad), (0, 0), (0, 0), (0, 0)))
+                for w in w4_l]
+    NBp = NB + nb_pad
+
     kernel = functools.partial(
         _block_cosine_kernel, V=V, S=S, ut=ut, Cc=Cc, chunk_c=chunk_c,
         n_groups=n_groups, pairs=tuple(pairs), block_rays=block_rays,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, blocks_per_step=bps)
 
     in_specs = (
-        [pl.BlockSpec((1, ut, Cc), lambda i: (i, 0, 0),
+        [pl.BlockSpec((bps, ut, Cc), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM) for _ in range(V)]
-        + [pl.BlockSpec((1, ut, 1), lambda i: (i, 0, 0),
+        + [pl.BlockSpec((bps, ut, 1), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM) for _ in range(V)]
-        + [pl.BlockSpec((1, block_rays, 2, S), lambda i: (i, 0, 0, 0),
+        + [pl.BlockSpec((bps, block_rays, 2, S), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM) for _ in range(V)]
-        + [pl.BlockSpec((1, block_rays, 4, S), lambda i: (i, 0, 0, 0),
+        + [pl.BlockSpec((bps, block_rays, 4, S), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM) for _ in range(V)]
         + [pl.BlockSpec((V, Cc, 1), lambda i: (0, 0, 0),
                         memory_space=pltpu.VMEM)]
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((NB, block_rays, n_groups, S),
+        out_shape=jax.ShapeDtypeStruct((NBp, block_rays, n_groups, S),
                                        jnp.float32),
-        grid=(NB,),
+        grid=(NBp // bps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_rays, n_groups, S),
+        out_specs=pl.BlockSpec((bps, block_rays, n_groups, S),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*rows_l, *u_l, *cells_l, *w4_l, scales[:, :, None])
-    out = out.reshape(Rp, n_groups, S)[:R]
+    out = out.reshape(NBp * block_rays, n_groups, S)[:R]
     return jnp.swapaxes(out, -1, -2)[None]                         # [1,R,S,G]
