@@ -39,8 +39,9 @@ def _in2d_fwd_impl(x, eps):
     if x.dtype == jnp.float32:
         m = x.mean(axis=(1, 2), keepdims=True)
         var = x.var(axis=(1, 2), keepdims=True)
-        inv = 1.0 / jnp.sqrt(var + eps)
-        return (x - m) * inv, (m, inv)
+        # divide (not reciprocal-multiply): bit-exact with round-1 — the
+        # ulp difference tripped 1e-5 batch-consistency tolerances
+        return (x - m) / jnp.sqrt(var + eps), (m, 1.0 / jnp.sqrt(var + eps))
     m = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
     var = jnp.mean(jnp.square(x.astype(jnp.float32) - m), axis=(1, 2),
                    keepdims=True)
