@@ -81,7 +81,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
                                  feature_channels: int = 128, num_scales: int = 1,
                                  feature_upsampler: str = "network",
                                  attention_backend: str = "auto",
-                                 compute_dtype=None, remat: bool = False):
+                                 compute_dtype=None, remat: bool = False,
+                                 stream_sharding=None):
     """Encode source views into matched pair features.
 
     images: [B, V, H, W, 3] in [0,1]. Returns a list over scales of
@@ -94,6 +95,15 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
     the TPU mixed-precision training policy. Outputs are cast back to f32.
     remat: checkpoint each transformer layer (recompute in backward) to cut
     activation memory for large training shapes.
+    stream_sharding: optional NamedSharding with the leading (stream) axis
+    partitioned — shards the B*V backbone streams and the B*P pair-side
+    streams across the mesh. At the flagship batch_size=1 recipe the
+    ray-sharded train step otherwise REPLICATES the whole encoder fwd+bwd
+    (the dominant cost) on every chip; with this, GSPMD distributes the
+    streams (gradients psum as usual). Math is per-stream, so sharding is
+    numerically inert. Forces the XLA attention path (a batch-sharded
+    pallas_call's auto-partitioning is unverified; XLA attention measured
+    within ~1.5% of flash at these window sizes).
     """
     cd = None
     if compute_dtype is not None and jnp.dtype(compute_dtype) != jnp.float32:
@@ -112,10 +122,19 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
         img_h, img_w = 768, 1024
         images = flat.reshape(b, v, img_h, img_w, 3)
 
+    def shard_streams(x):
+        if stream_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, stream_sharding)
+
+    if stream_sharding is not None:
+        attention_backend = "xla"
+
     # backbone over all views at once (gmflow.py:51)
     net_in = normalize_images(images).reshape(b * v, img_h, img_w, 3)
     if cd is not None:
         net_in = net_in.astype(cd)
+    net_in = shard_streams(net_in)
     feats = apply_cnn_encoder(params["backbone"], net_in,
                               num_output_scales=num_scales)
     feats = feats[::-1]  # low-to-high resolution (gmflow.py:53-54)
@@ -135,8 +154,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
         # pair expansion: gather view features for both sides of every pair
         idx0 = jnp.array([p[0] for p in pairs])
         idx1 = jnp.array([p[1] for p in pairs])
-        feat0 = feat[:, idx0].reshape(b * n_pairs, h, w, c)
-        feat1 = feat[:, idx1].reshape(b * n_pairs, h, w, c)
+        feat0 = shard_streams(feat[:, idx0].reshape(b * n_pairs, h, w, c))
+        feat1 = shard_streams(feat[:, idx1].reshape(b * n_pairs, h, w, c))
 
         attn_splits = attn_splits_list[att_idx]
         feat0 = _feature_add_position(feat0, attn_splits, feature_channels)
@@ -154,7 +173,7 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
                               .reshape(b, n_pairs, 2, h, w, c))
 
         if feature_upsampler == "network":
-            merged = jnp.concatenate([feat0, feat1], axis=0)
+            merged = shard_streams(jnp.concatenate([feat0, feat1], axis=0))
             up = apply_upsampler(params["featup_net"], merged)
             up0, up1 = jnp.split(up, 2, axis=0)
             uh, uw = up0.shape[1:3]

@@ -43,14 +43,16 @@ def init_matchnerf(key, cfg):
     }
 
 
-def encode(params, cfg, ref_images) -> List[jnp.ndarray]:
+def encode(params, cfg, ref_images, stream_sharding=None) -> List[jnp.ndarray]:
     """ref_images: [B, V, H, W, 3] in [0,1] -> per-scale [B,P,2,h,w,C] stacks
     (matchnerf.py:183-207 / gmflow.py:91-150).
 
     precision.encoder_compute_dtype='bfloat16' runs the encoder under the
     mixed-precision policy (bf16 convs/matmuls, f32 master weights and
     norm/softmax stats); precision.remat_encoder checkpoints the transformer
-    layers. Defaults (f32, no remat) are bit-exact with round-1."""
+    layers. Defaults (f32, no remat) are bit-exact with round-1.
+    stream_sharding: see gmflow_extract_pair_features — distributes the
+    encoder's view/pair streams across a device mesh."""
     prec = cfg.get("precision") or {}
     get = prec.get if hasattr(prec, "get") else (lambda *_: None)
     cd_name = get("encoder_compute_dtype", None)
@@ -61,7 +63,8 @@ def encode(params, cfg, ref_images) -> List[jnp.ndarray]:
         n_views=cfg.n_src_views, keep_raw_feats=True,
         wo_self_attn=cfg.encoder.wo_self_attn,
         attention_backend=str(cfg.encoder.get("attention_backend", "auto")),
-        compute_dtype=cd, remat=bool(get("remat_encoder", False)))
+        compute_dtype=cd, remat=bool(get("remat_encoder", False)),
+        stream_sharding=stream_sharding)
 
 
 def sample_depth(cfg, near_far, batch_size: int, num_rays: int,

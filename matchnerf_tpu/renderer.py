@@ -194,13 +194,24 @@ class Renderer:
     # ------------------------------ encode ---------------------------------
 
     def encode(self, params, ref_images: jnp.ndarray) -> List[jnp.ndarray]:
-        """ref_images: [B,V,H,W,3]."""
+        """ref_images: [B,V,H,W,3]. With a mesh, the encoder's view/pair
+        streams distribute across it (once-per-image work; otherwise each
+        chip would recompute the full encoder)."""
         if self._encode_jit is None:
             cfg = self.cfg
+            ss = None
+            par = cfg.get("parallel") or {}
+            # opt-in for eval (GSPMD reassociation costs the sharded-eval
+            # bit-equality with single-device; training defaults ON in
+            # train_step.py where the tolerance is loss-level)
+            if (self.mesh is not None and hasattr(par, "get")
+                    and par.get("shard_encoder_streams_eval", False)):
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ss = NamedSharding(self.mesh, P("data"))
 
             @jax.jit
             def _enc(p, imgs):
-                return encode(p, cfg, imgs)
+                return encode(p, cfg, imgs, stream_sharding=ss)
 
             self._encode_jit = _enc
         return self._encode_jit(params, ref_images)

@@ -106,6 +106,7 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
     render_w = cfg.loss_weight.get("render", 1.0) or 0.0
     stratified = bool(cfg.nerf.sample_stratified)
     ray_sharding = None
+    stream_sharding = None
     if mesh is not None and shard_rays:
         n_dev = mesh.devices.size
         assert n_rays % n_dev == 0, (
@@ -113,6 +114,12 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
             f"mesh size ({n_dev})")
         from jax.sharding import NamedSharding, PartitionSpec as P
         ray_sharding = NamedSharding(mesh, P(None, "data"))
+        # at batch_size=1 the encoder would otherwise run fully REPLICATED
+        # on every chip (it dominates the step); shard its view/pair
+        # streams over the mesh (parallel.shard_encoder_streams to disable)
+        par = cfg.get("parallel") or {}
+        if not hasattr(par, "get") or par.get("shard_encoder_streams", True):
+            stream_sharding = NamedSharding(mesh, P("data"))
 
     prec = cfg.get("precision") or {}
     train_tables = bool(prec.get("train_packed_tables", True)) \
@@ -120,7 +127,8 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
 
     def loss_fn(params, batch, rng):
         ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
-        pair_feats = encode(params, cfg, ref_images)
+        pair_feats = encode(params, cfg, ref_images,
+                            stream_sharding=stream_sharding)
         # packed tables are pure reshuffles — differentiable; keep f32 in
         # training so encoder grads aren't bf16-rounded. Their backward
         # scatter-adds ~5ms/table, but the raw 4-tap alternative measured
