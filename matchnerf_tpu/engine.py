@@ -332,23 +332,29 @@ class Coach:
     _train_steps = None
     _banded_kt_cache = None
 
-    def _get_train_step(self, banded_kt):
+    def _get_train_step(self, buckets):
         if self._train_hw is None:
             # test harnesses install _train_step directly without the
             # train_model() setup; honor it for the default (direct) path
             return self._train_step
         if self._train_steps is None:
             self._train_steps = {}
-        if banded_kt not in self._train_steps:
+        if buckets not in self._train_steps:
             H, W, n_rays = self._train_hw
-            self._train_steps[banded_kt] = make_train_step(
+            banded_kt, block_ut = buckets if buckets is not None \
+                else (None, None)
+            self._train_steps[buckets] = make_train_step(
                 self.cfg, self.tx, H, W, n_rays, mesh=self.mesh,
-                shard_rays=self.parallel_mode == "rays", banded_kt=banded_kt)
-        return self._train_steps[banded_kt]
+                shard_rays=self.parallel_mode == "rays", banded_kt=banded_kt,
+                block_ut=block_ut)
+        return self._train_steps[buckets]
 
     def _train_banded_kt(self, batch: Dict):
-        """Per-batch banded run bound for the training cond query (cached by
-        pose bytes; buckets keep the jit cache small). None = direct path."""
+        """Per-batch (banded_kt, block_ut) buckets for the training cond
+        query (cached by pose bytes; buckets keep the jit cache small).
+        block_ut engages only with nerf.train_ray_patches +
+        precision.block_kernel (the trainable block megakernel);
+        (None, None) = direct path."""
         cfg = self.cfg
         prec = cfg.get("precision") or {}
         if not (hasattr(prec, "get") and prec.get("banded_kernel")):
@@ -364,20 +370,33 @@ class Coach:
         nf = np.asarray(batch["near_fars"])
         key = (extr.tobytes(), intr.tobytes(), nf.tobytes())
         if key not in self._banded_kt_cache:
-            from .renderer import banded_kt_host
+            from .renderer import banded_kt_host, extract_poses
             W, H = cfg.data_train.img_wh
             up = int(cfg.encoder.upsample_factor)
             scale_hws = [(H // 8, W // 8), (H // 8 * up, W // 8 * up)]
-            c2w = camera.pose_inverse_legacy_np(extr[:, -1, :3, :]) \
-                if cfg.nerf.legacy_coord else \
-                np.asarray(camera.pose_inverse(jnp.asarray(extr[:, -1, :3, :])))
-            kt = banded_kt_host(
-                cfg, c2w, intr[0, -1], nf[0, -1],
-                extr[0, :-1, :3, :], intr[0, :-1], scale_hws, H, W)
-            # the kernel path needs every scale banded; mixed None -> direct
-            if kt is not None and any(k is None for k in kt):
-                kt = None
-            self._banded_kt_cache[key] = kt
+            patches = bool(cfg.nerf.get("train_ray_patches", False)) \
+                if hasattr(cfg.nerf, "get") else False
+            if patches and prec.get("block_kernel"):
+                # device-measured run bound + block-union buckets (covers
+                # every 8-aligned pixel strip of the image)
+                poses = extract_poses(batch)
+                kt, ut = self.renderer._pose_prep(
+                    poses, poses["tgt"], scale_hws, H, W)
+                buckets = None if kt is None else (kt, ut)
+            else:
+                c2w = camera.pose_inverse_legacy_np(extr[:, -1, :3, :]) \
+                    if cfg.nerf.legacy_coord else \
+                    np.asarray(camera.pose_inverse(
+                        jnp.asarray(extr[:, -1, :3, :])))
+                kt = banded_kt_host(
+                    cfg, c2w, intr[0, -1], nf[0, -1],
+                    extr[0, :-1, :3, :], intr[0, :-1], scale_hws, H, W)
+                # the kernel path needs every scale banded; mixed None ->
+                # direct
+                if kt is not None and any(k is None for k in kt):
+                    kt = None
+                buckets = None if kt is None else (kt, None)
+            self._banded_kt_cache[key] = buckets
         return self._banded_kt_cache[key]
 
     def train_iteration(self, batch: Dict) -> Dict:

@@ -284,11 +284,21 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     and banded_impl == "block"):
                 # block-level shared dilated-union megakernel: unpacked (4x
                 # smaller, gather-resident) tables, one matmul for all four
-                # bilinear taps (ops/pallas_block_banded.py)
-                from ..ops.pallas_block_banded import block_banded_cosine_scale
-                feat_chunks.append(block_banded_cosine_scale(
-                    unpacked[scale_idx], grids, kt=kt, ut=ut, n_groups=G,
-                    pairs=pairs, dequant_scales=scales))
+                # bilinear taps (ops/pallas_block_banded.py). f32 tables
+                # route through the custom-VJP variant (patch-aligned
+                # training rays, nerf.train_ray_patches).
+                if scales is None:
+                    from ..ops.pallas_block_banded import (
+                        block_banded_cosine_scale_trainable)
+                    feat_chunks.append(block_banded_cosine_scale_trainable(
+                        unpacked[scale_idx], grids, kt, ut, G,
+                        tuple(pairs), 8))
+                else:
+                    from ..ops.pallas_block_banded import (
+                        block_banded_cosine_scale)
+                    feat_chunks.append(block_banded_cosine_scale(
+                        unpacked[scale_idx], grids, kt=kt, ut=ut, n_groups=G,
+                        pairs=pairs, dequant_scales=scales))
                 continue
             if kt is not None and banded_impl in ("pallas", "block"):
                 # VMEM-fused dedup-gather + interp + cosine megakernel: only

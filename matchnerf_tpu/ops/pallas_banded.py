@@ -271,6 +271,51 @@ def banded_cosine_scale(vfeats, grids, kt: int, n_groups: int,
 # --------------------------- trainable variant ------------------------------
 
 
+def _grouped_cosine_bwd(interp, g, sel, selT, pairs, chunk_c, Cc, S, V,
+                        eps=1e-8):
+    """In-kernel analytic backward of the pair-mean grouped cosine.
+
+    interp: V-list of (Cc,S) f32 per-view interpolations; g: (G,S) cotangent
+    of the pair-mean output; sel/selT: the (G,chunk)/(chunk,G) group
+    selection matmuls. Returns V-list of d_interp (Cc,S) f32. Shared by the
+    per-ray banded VJP and the block-banded VJP."""
+    dcos = g * (1.0 / len(pairs))                                  # (G,S)
+    # per-chunk cotangent accumulators (python-level, concatenated once at
+    # the end — avoids zero-width slices that Mosaic rejects)
+    n_chunks = Cc // chunk_c
+    d_chunks = [[jnp.zeros((chunk_c, S), jnp.float32)
+                 for _ in range(n_chunks)] for _ in range(V)]
+    for (i, j) in pairs:
+        ca, cb = j - 1, i
+        fa = interp[i][ca * chunk_c:(ca + 1) * chunk_c]            # (chunk,S)
+        fb = interp[j][cb * chunk_c:(cb + 1) * chunk_c]
+        dots = jnp.dot(sel, fa * fb, preferred_element_type=jnp.float32)
+        na2 = jnp.dot(sel, fa * fa, preferred_element_type=jnp.float32)
+        nb2 = jnp.dot(sel, fb * fb, preferred_element_type=jnp.float32)
+        sna = jnp.sqrt(na2)
+        snb = jnp.sqrt(nb2)
+        na = jnp.maximum(sna, eps)                                 # (G,S)
+        nb = jnp.maximum(snb, eps)
+        inv_ab = 1.0 / (na * nb)
+        d_dots = dcos * inv_ab                                     # (G,S)
+        # d na = -dcos * dots / (na^2 nb); through max: only when sna>eps
+        d_na2 = jnp.where(sna > eps,
+                          -dcos * dots * inv_ab / na * (0.5 / na), 0.0)
+        d_nb2 = jnp.where(snb > eps,
+                          -dcos * dots * inv_ab / nb * (0.5 / nb), 0.0)
+        d_dots_c = jnp.dot(selT, d_dots,
+                           preferred_element_type=jnp.float32)     # (chunk,S)
+        d_na2_c = jnp.dot(selT, d_na2,
+                          preferred_element_type=jnp.float32)
+        d_nb2_c = jnp.dot(selT, d_nb2,
+                          preferred_element_type=jnp.float32)
+        d_fa = d_dots_c * fb + 2.0 * d_na2_c * fa
+        d_fb = d_dots_c * fa + 2.0 * d_nb2_c * fb
+        d_chunks[i][ca] = d_chunks[i][ca] + d_fa
+        d_chunks[j][cb] = d_chunks[j][cb] + d_fb
+    return [jnp.concatenate(d_chunks[v], axis=0) for v in range(V)]
+
+
 def _banded_cosine_bwd_kernel(*refs, V: int, S: int, kt: int, Cc: int,
                               chunk_c: int, n_groups: int, pairs,
                               block_rays: int):
@@ -315,42 +360,8 @@ def _banded_cosine_bwd_kernel(*refs, V: int, S: int, kt: int, Cc: int,
             interp.append(acc)
             Wts.append(Wv)
 
-        dcos = g_ref[b] * (1.0 / len(pairs))                       # (G,S)
-        # per-chunk cotangent accumulators (python-level, concatenated once
-        # at the end — avoids zero-width slices that Mosaic rejects)
-        n_chunks = Cc // chunk_c
-        d_chunks = [[jnp.zeros((chunk_c, S), jnp.float32)
-                     for _ in range(n_chunks)] for _ in range(V)]
-        for (i, j) in pairs:
-            ca, cb = j - 1, i
-            fa = interp[i][ca * chunk_c:(ca + 1) * chunk_c]        # (chunk,S)
-            fb = interp[j][cb * chunk_c:(cb + 1) * chunk_c]
-            dots = jnp.dot(sel, fa * fb, preferred_element_type=jnp.float32)
-            na2 = jnp.dot(sel, fa * fa, preferred_element_type=jnp.float32)
-            nb2 = jnp.dot(sel, fb * fb, preferred_element_type=jnp.float32)
-            sna = jnp.sqrt(na2)
-            snb = jnp.sqrt(nb2)
-            na = jnp.maximum(sna, eps)                             # (G,S)
-            nb = jnp.maximum(snb, eps)
-            inv_ab = 1.0 / (na * nb)
-            d_dots = dcos * inv_ab                                 # (G,S)
-            # d na = -dcos * dots / (na^2 nb); through max: only when sna>eps
-            d_na2 = jnp.where(sna > eps,
-                              -dcos * dots * inv_ab / na * (0.5 / na), 0.0)
-            d_nb2 = jnp.where(snb > eps,
-                              -dcos * dots * inv_ab / nb * (0.5 / nb), 0.0)
-            d_dots_c = jnp.dot(selT, d_dots,
-                               preferred_element_type=jnp.float32)  # (chunk,S)
-            d_na2_c = jnp.dot(selT, d_na2,
-                              preferred_element_type=jnp.float32)
-            d_nb2_c = jnp.dot(selT, d_nb2,
-                              preferred_element_type=jnp.float32)
-            d_fa = d_dots_c * fb + 2.0 * d_na2_c * fa
-            d_fb = d_dots_c * fa + 2.0 * d_nb2_c * fb
-            d_chunks[i][ca] = d_chunks[i][ca] + d_fa
-            d_chunks[j][cb] = d_chunks[j][cb] + d_fb
-
-        d_interp = [jnp.concatenate(d_chunks[v], axis=0) for v in range(V)]
+        d_interp = _grouped_cosine_bwd(interp, g_ref[b], sel, selT, pairs,
+                                       chunk_c, Cc, S, V, eps)
 
         for v in range(V):
             parts = []

@@ -213,6 +213,164 @@ def _block_cosine_kernel(*refs, V: int, S: int, ut: int, Cc: int,
             out_ref[nb, b] = acc_pairs / len(pairs)                # (G,S)
 
 
+def _block_cosine_bwd_kernel(*refs, V: int, S: int, ut: int, Cc: int,
+                             chunk_c: int, n_groups: int, pairs,
+                             block_rays: int):
+    """Backward of the block-banded cosine query w.r.t. the gathered union
+    rows. refs: V rows (1,ut,Cc) f32, V unions (1,ut,1) i32, V cells
+    (1,BR,2,S) i32, V weights (1,BR,4,S) f32, g (1,BR,G,S) f32 cotangent,
+    then V outputs d_rows (1,ut,Cc) f32.
+
+    Recomputes the one-hot stencils and interpolations (cheaper than saving
+    [R,S,Cc] residuals), applies the shared analytic grouped-cosine backward
+    (ops/pallas_banded._grouped_cosine_bwd), and pushes each ray's d_interp
+    back through its stencil matmul, accumulating per-union-row gradients
+    across the block's rays."""
+    from .pallas_banded import _grouped_cosine_bwd
+
+    rows_refs = refs[:V]
+    u_refs = refs[V:2 * V]
+    cell_refs = refs[2 * V:3 * V]
+    w_refs = refs[3 * V:4 * V]
+    g_ref = refs[4 * V]
+    out_refs = refs[4 * V + 1:]
+    Cg = chunk_c // n_groups
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 0)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (n_groups, chunk_c), 1)
+    sel = (c_iota // Cg == g_iota).astype(jnp.float32)             # (G,chunk)
+    selT = sel.T
+
+    rows = [rows_refs[v][0] for v in range(V)]                     # (ut,Cc) f32
+    unions = [u_refs[v][0] for v in range(V)]
+    d_acc = [jnp.zeros((ut, Cc), jnp.float32) for _ in range(V)]
+
+    for b in range(block_rays):
+        interp, Ws = [], []
+        for v in range(V):
+            c00 = cell_refs[v][0, b, 0:1]                          # (1,S)
+            c10 = cell_refs[v][0, b, 1:2]
+            wv = w_refs[v][0, b]                                   # (4,S)
+            u = unions[v]
+            o00 = (u == c00).astype(jnp.float32)
+            o10 = (u == c10).astype(jnp.float32)
+            o01 = pltpu.roll(o00, 1, 0)
+            o11 = pltpu.roll(o10, 1, 0)
+            Wmat = (o00 * wv[0:1] + o01 * wv[1:2]
+                    + o10 * wv[2:3] + o11 * wv[3:4])               # (ut,S)
+            Ws.append(Wmat)
+            interp.append(jax.lax.dot_general(
+                rows[v], Wmat, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))               # (Cc,S)
+
+        d_interp = _grouped_cosine_bwd(interp, g_ref[0, b], sel, selT,
+                                       pairs, chunk_c, Cc, S, V)
+        for v in range(V):
+            # d_rows[u,c] += sum_s W[u,s] d_interp[c,s]
+            d_acc[v] = d_acc[v] + jax.lax.dot_general(
+                Ws[v], d_interp[v], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                # (ut,Cc)
+
+    for v in range(V):
+        out_refs[v][0] = d_acc[v]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def block_banded_cosine_scale_trainable(vfeats, grids, kt, ut, n_groups,
+                                        pairs, block_rays=8):
+    """Differentiable block-banded cosine query for f32 training tables
+    (requires patch-aligned rays: 8 consecutive pixels per block —
+    nerf.train_ray_patches). The custom backward recomputes the shared
+    dilated-union gather + stencil in VMEM, runs the analytic grouped-cosine
+    backward, and scatter-adds only the <=ut union rows PER 8-RAY BLOCK into
+    the table gradient (~2.4x fewer gathered AND scattered rows than the
+    per-ray banded VJP)."""
+    return block_banded_cosine_scale(vfeats, grids, kt=kt, ut=ut,
+                                     n_groups=n_groups, pairs=pairs,
+                                     block_rays=block_rays)
+
+
+def _block_trainable_fwd(vfeats, grids, kt, ut, n_groups, pairs, block_rays):
+    out = block_banded_cosine_scale(vfeats, grids, kt=kt, ut=ut,
+                                    n_groups=n_groups, pairs=pairs,
+                                    block_rays=block_rays)
+    return out, (vfeats, grids)
+
+
+def _block_trainable_bwd(kt, ut, n_groups, pairs, block_rays, res, g):
+    vfeats, grids = res
+    _, V, H, W, Cc = vfeats.shape
+    chunk_c = Cc // (V - 1)
+    _, _, R, S, _ = grids.shape
+    pad = (-R) % block_rays
+    if pad:
+        grids = jnp.pad(grids, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0)),
+                        mode="edge")
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Rp = R + pad
+    NB = Rp // block_rays
+
+    cells_l, w4_l, u_l, rows_l = [], [], [], []
+    flat = vfeats[0].reshape(V, H * W, Cc).astype(jnp.float32)
+    for v in range(V):
+        cell, c10, w4 = _cells_weights4(grids[v, 0], H, W)
+        taps = _runs_from_cells(cell, kt)
+        u = block_union_cells(taps, block_rays, ut, H, W)          # [NB,ut]
+        rows = jnp.take_along_axis(
+            flat[v], jnp.clip(u, 0, H * W - 1).reshape(NB * ut)[:, None],
+            axis=0, mode="promise_in_bounds").reshape(NB, ut, Cc)
+        cells_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
+                                  c10.reshape(NB, block_rays, S)], axis=2))
+        w4_l.append(jnp.moveaxis(w4.reshape(NB, block_rays, S, 4), -1, -2))
+        u_l.append(u)
+        rows_l.append(rows)
+
+    gT = jnp.moveaxis(g[0].reshape(NB, block_rays, S, n_groups), -1, -2)
+
+    interpret = jax.default_backend() == "cpu"
+    kernel = functools.partial(
+        _block_cosine_bwd_kernel, V=V, S=S, ut=ut, Cc=Cc, chunk_c=chunk_c,
+        n_groups=n_groups, pairs=tuple(pairs), block_rays=block_rays)
+    in_specs = (
+        [pl.BlockSpec((1, ut, Cc), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM) for _ in range(V)]
+        + [pl.BlockSpec((1, ut, 1), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM) for _ in range(V)]
+        + [pl.BlockSpec((1, block_rays, 2, S), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM) for _ in range(V)]
+        + [pl.BlockSpec((1, block_rays, 4, S), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM) for _ in range(V)]
+        + [pl.BlockSpec((1, block_rays, n_groups, S), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)]
+    )
+    d_rows = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((NB, ut, Cc), jnp.float32)
+                        for _ in range(V)),
+        grid=(NB,),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec((1, ut, Cc), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+                        for _ in range(V)),
+        interpret=interpret,
+    )(*rows_l, *[u[..., None] for u in u_l], *cells_l, *w4_l, gT)
+
+    d_flat = []
+    for v in range(V):
+        # mode="drop": the poison tail of each union scatters nowhere
+        # (-1 would WRAP under jnp indexing; remap to an OOB positive)
+        idx = u_l[v].reshape(NB * ut)
+        idx = jnp.where(idx < 0, H * W, idx)
+        dv = jnp.zeros((H * W, Cc), jnp.float32).at[idx].add(
+            d_rows[v].reshape(NB * ut, Cc), mode="drop")
+        d_flat.append(dv)
+    d_vfeats = jnp.stack(d_flat).reshape(1, V, H, W, Cc).astype(vfeats.dtype)
+    return d_vfeats, jnp.zeros_like(grids)
+
+
+block_banded_cosine_scale_trainable.defvjp(_block_trainable_fwd,
+                                           _block_trainable_bwd)
+
+
 def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
                               pairs: List[Tuple[int, int]],
                               dequant_scales=None, block_rays: int = 8,

@@ -465,9 +465,11 @@ class Renderer:
             self._render_jit[key] = _measure
         return self._render_jit[key]
 
-    def _pose_prep(self, poses, tgt, tables, img_h: int, img_w: int):
+    def _pose_prep(self, poses, tgt, scale_hws, img_h: int, img_w: int):
         """Device-side per-pose prep for the block path: returns
-        (banded_kt tuple or None, block_ut tuple or None)."""
+        (banded_kt tuple or None, block_ut tuple or None). scale_hws: the
+        per-scale feature-table (h, w) — from tables, or from the encoder
+        config (the engine uses this for patch-based training)."""
         cfg = self.cfg
         from .ops.banded_gather import bucket_kt
         from .ops.pallas_block_banded import bucket_ut
@@ -479,7 +481,7 @@ class Renderer:
                                             legacy=cfg.nerf.legacy_coord))
         idx = np.minimum(np.arange(n_chunks * R), n_pix - 1)
         pix_groups = jnp.asarray(grid[idx].reshape(n_chunks, 1, R, 2))
-        scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
+        scale_hws = [tuple(hw) for hw in scale_hws]
         c2w = self.prepare_target(np.asarray(tgt["extrinsics"]))
         args = (jnp.asarray(np.asarray(tgt["intrinsics"])),
                 jnp.asarray(c2w),
@@ -516,7 +518,8 @@ class Renderer:
             return None
         if any(k is None for k in banded_kt):
             return None
-        return self._pose_prep(poses, tgt, tables, img_h, img_w)[1]
+        scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
+        return self._pose_prep(poses, tgt, scale_hws, img_h, img_w)[1]
 
     def render_by_slices(self, params, poses, ref_images, pair_feats,
                          img_h: int, img_w: int,
@@ -564,7 +567,9 @@ class Renderer:
                 and c2w.shape[0] == 1 and shard_r % 8 == 0):
             # fused device prep: z-safety + run bound + union buckets in one
             # dispatch (the host numpy bound alone cost 0.44s/pose)
-            banded_kt, block_ut = self._pose_prep(poses, tgt, tables,
+            scale_hws = [(v.shape[2], v.shape[3])
+                         for v in tables["view_feats"]]
+            banded_kt, block_ut = self._pose_prep(poses, tgt, scale_hws,
                                                   img_h, img_w)
         else:
             banded_kt = self._banded_kt(poses, tgt, tables, img_h, img_w)

@@ -86,7 +86,8 @@ def build_optimizer(cfg, total_steps: int):
 
 
 def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
-                    mesh=None, shard_rays: bool = False, banded_kt=None):
+                    mesh=None, shard_rays: bool = False, banded_kt=None,
+                    block_ut=None):
     """Build the jitted train step for a fixed (H, W, rays) shape.
 
     Parallel modes (mesh from `parallel.make_mesh`):
@@ -102,6 +103,11 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
     computed per batch pose by the engine) — routes the cond query through
     the custom-VJP banded megakernel (ops/pallas_banded.py), which dedups
     gather rows AND scatter-add rows in the backward. Compiled per bucket.
+    block_ut: optional per-scale block-union buckets. With
+    nerf.train_ray_patches (rays sampled as 8-aligned pixel strips), routes
+    through the custom-VJP BLOCK-banded megakernel instead: one shared
+    dilated-union gather/scatter per 8-ray block (~2.4x fewer rows both
+    ways than per-ray dedup).
     """
     render_w = cfg.loss_weight.get("render", 1.0) or 0.0
     stratified = bool(cfg.nerf.sample_stratified)
@@ -124,6 +130,11 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
     prec = cfg.get("precision") or {}
     train_tables = bool(prec.get("train_packed_tables", True)) \
         if hasattr(prec, "get") else True
+    ray_patches = bool(cfg.nerf.get("train_ray_patches", False)) \
+        if hasattr(cfg.nerf, "get") else False
+    use_block = ray_patches and block_ut is not None and banded_kt is not None
+    if ray_patches:
+        assert n_rays % 8 == 0, "patch sampling needs n_rays divisible by 8"
 
     def loss_fn(params, batch, rng):
         ref_images = batch["images"][:, :cfg.n_src_views]          # [B,V,H,W,3]
@@ -136,12 +147,23 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
         # re-evaluation on other topologies.
         tables = None
         if train_tables and int(cfg.encoder.feature_sample_local_radius) <= 0:
-            tables = prepare_sampling_tables(cfg, pair_feats, ref_images)
+            tables = prepare_sampling_tables(cfg, pair_feats, ref_images,
+                                             keep_unpacked=use_block)
 
         rng_rays, rng_depth = jax.random.split(rng)
         B = ref_images.shape[0]
-        # same random subset for all batch elements (matchnerf.py:53)
-        ray_idx = jax.random.permutation(rng_rays, img_h * img_w)[: n_rays]
+        if ray_patches:
+            # 8-aligned horizontal pixel strips: each strip is one block of
+            # the block-banded kernel (the absolute 8-alignment matches the
+            # per-pose union measurement partition). Strips are sampled
+            # without replacement, pixels within a strip are correlated —
+            # an opt-in deviation from the reference's iid-ray recipe.
+            starts = jax.random.permutation(
+                rng_rays, (img_h * img_w) // 8)[: n_rays // 8] * 8
+            ray_idx = (starts[:, None] + jnp.arange(8)[None, :]).reshape(-1)
+        else:
+            # same random subset for all batch elements (matchnerf.py:53)
+            ray_idx = jax.random.permutation(rng_rays, img_h * img_w)[: n_rays]
         off = 0.0 if cfg.nerf.legacy_coord else 0.5
         pix_x = (ray_idx % img_w).astype(jnp.float32) + off
         pix_y = (ray_idx // img_w).astype(jnp.float32) + off
@@ -161,7 +183,8 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
             pair_feats=pair_feats, tables=tables,
             img_h=img_h, img_w=img_w, rng=rng_depth, stratified=stratified,
             banded_kt=banded_kt if tables is not None else None,
-            banded_impl="pallas")
+            banded_impl="block" if use_block else "pallas",
+            block_ut=block_ut if (use_block and tables is not None) else None)
 
         tgt = batch["images"][:, -1].reshape(B, img_h * img_w, 3)
         tgt = jnp.take_along_axis(tgt, jnp.broadcast_to(

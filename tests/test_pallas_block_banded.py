@@ -144,6 +144,108 @@ def test_sharded_eval_block_kernel_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_block_trainable_grads_match_direct():
+    """Custom-VJP block-banded query: value and table gradients match
+    autodiff through the direct packed path (patch-aligned coherent rays)."""
+    from matchnerf_tpu.ops.pallas_block_banded import (
+        block_banded_cosine_scale_trainable)
+
+    rng = np.random.default_rng(11)
+    V, H, W, C = 3, 24, 28, 16
+    R, S, G = 16, 24, 4
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    unpacked = jnp.asarray(feat)[None]
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    # blocks of 8 rays sharing nearly-identical bands (patch sampling)
+    base = _coherent_grids(rng, V, R // 8, S)
+    jitter = rng.normal(0, 0.01, (V, 1, R // 8, 8, 1, 2)).astype(np.float32)
+    grids = jnp.clip(jnp.asarray(
+        np.repeat(np.asarray(base), 8, axis=2).reshape(V, 1, R // 8, 8, S, 2)
+        + jitter), -1, 1).reshape(V, 1, R, S, 2)
+    pairs = tuple(pair_index_lists(V))
+    gcot = jnp.asarray(rng.normal(0, 1, (1, R, S, G)).astype(np.float32))
+    ut = max(bucket_ut(int(block_union_size(grids[v, 0], H, W, kt=48)))
+             for v in range(V))
+
+    def loss_direct(vf_packed):
+        out = _reference_cosine(vf_packed, grids, C, G, pairs)
+        return jnp.vdot(out, gcot)
+
+    def loss_block(vf):
+        out = block_banded_cosine_scale_trainable(vf, grids, 48, ut, G,
+                                                  pairs, 8)
+        return jnp.vdot(out, gcot)
+
+    v_d, g_d = jax.value_and_grad(loss_direct)(packed)
+    v_b, g_b = jax.value_and_grad(loss_block)(unpacked)
+    np.testing.assert_allclose(float(v_b), float(v_d), rtol=1e-5)
+    # fold the packed-table gradient back onto the unpacked table: pack_2x2
+    # is shift+concat, so its transpose is 4 shifted adds
+    gp = np.asarray(g_d)[0]                                        # [V,H,W,4Cc]
+    acc = np.zeros((V, H, W, Cc), np.float32)
+    acc += gp[..., :Cc]
+    acc[:, :, 1:] += gp[:, :, :-1, Cc:2 * Cc]
+    acc[:, :, -1] += gp[:, :, -1, Cc:2 * Cc]
+    acc[:, 1:] += gp[:, :-1, :, 2 * Cc:3 * Cc]
+    acc[:, -1] += gp[:, -1, :, 2 * Cc:3 * Cc]
+    acc[:, 1:, 1:] += gp[:, :-1, :-1, 3 * Cc:]
+    acc[:, 1:, -1] += gp[:, :-1, -1, 3 * Cc:]
+    acc[:, -1, 1:] += gp[:, -1, :-1, 3 * Cc:]
+    acc[:, -1, -1] += gp[:, -1, -1, 3 * Cc:]
+    np.testing.assert_allclose(np.asarray(g_b)[0], acc, atol=1e-4, rtol=1e-3)
+
+
+def test_block_train_grads_through_render_rays():
+    """End-to-end training gradients (encoder+decoder params) through
+    render_rays with the trainable block kernel (patch-aligned rays) vs the
+    direct packed path."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import (encode, init_matchnerf,
+                                                prepare_sampling_tables,
+                                                render_rays)
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=32)
+    B, H, W, R = 1, 48, 48, 16
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, B, H, W, R)
+    ref = jnp.asarray(d["images"][:, :3])
+    # patch-aligned rays: two 8-pixel strips
+    from matchnerf_tpu import camera
+    grid = np.asarray(camera.pixel_grid(H, W, legacy=cfg.nerf.legacy_coord))
+    idx = np.concatenate([np.arange(8) + 1104, np.arange(8) + 1616])
+    pix = jnp.asarray(grid[idx][None])
+    tgt = jnp.asarray(d["images"][:, 3].reshape(1, H * W, 3)[:, idx])
+
+    kwargs = dict(
+        pix_xy=pix,
+        tgt_intr=jnp.asarray(d["intr"][:, -1]),
+        tgt_c2w=jnp.asarray(d["tgt_c2w"]),
+        tgt_near_far=jnp.asarray(d["near_fars"][:, -1]),
+        ref_w2c=jnp.asarray(d["poses"][:, :-1, :3, :]),
+        ref_intr=jnp.asarray(d["intr"][:, :-1]),
+        ref_near_far=jnp.asarray(d["near_fars"][:, :-1]),
+        img_h=H, img_w=W)
+
+    def loss(p, impl, kt, ut, unpacked):
+        feats = encode(p, cfg, ref)
+        tables = prepare_sampling_tables(cfg, feats, ref,
+                                         keep_unpacked=unpacked)
+        out = render_rays(p, cfg, ref_images=ref, pair_feats=feats,
+                          tables=tables, banded_kt=kt, banded_impl=impl,
+                          block_ut=ut, **kwargs)
+        return jnp.mean((out["rgb"] - tgt) ** 2)
+
+    v_d, g_d = jax.value_and_grad(loss)(params, "xla", None, None, False)
+    v_b, g_b = jax.value_and_grad(loss)(params, "block", (16, 16), (96, 96),
+                                        True)
+    np.testing.assert_allclose(float(v_b), float(v_d), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                    jax.tree_util.tree_leaves(g_b)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-6, rtol=2e-3)
+
+
 def test_per_scale_dtype_list_mixed_int4():
     """cond_sample_dtype as a per-scale list ([int4, int8]): the int4 scale
     falls back to the per-ray path under block_kernel, the int8 scale rides

@@ -20,6 +20,9 @@ def main():
                              "banded kernel with this bucket per scale")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--attention_backend", type=str, default="auto")
+    parser.add_argument("--block_ut", type=int, default=0,
+                        help="with --banded_kt: patch-sampled rays + the "
+                             "trainable BLOCK kernel at this union bucket")
     parser.add_argument("--top", type=int, default=35)
     parser.add_argument("--dump_hlo", type=str, default="")
     args = parser.parse_args()
@@ -59,7 +62,12 @@ def main():
     tx, _ = build_optimizer(cfg, total_steps=1000)
     opt_state = tx.init(params)
     banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
-    step = make_train_step(cfg, tx, H, W, R, banded_kt=banded_kt)
+    block_ut = (args.block_ut, args.block_ut) if args.block_ut else None
+    if block_ut:
+        cfg.nerf = DotDict(dict(cfg.nerf))
+        cfg.nerf.train_ray_patches = True
+    step = make_train_step(cfg, tx, H, W, R, banded_kt=banded_kt,
+                           block_ut=block_ut)
 
     @jax.jit
     def run(params, opt_state, batch, rng):
