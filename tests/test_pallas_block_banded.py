@@ -246,6 +246,67 @@ def test_block_train_grads_through_render_rays():
                                    atol=5e-6, rtol=2e-3)
 
 
+def test_engine_patch_training_engages_block_buckets(tmp_path):
+    """Coach.train_model with nerf.train_ray_patches + precision.block_kernel
+    measures per-pose (kt, ut) buckets on device and compiles a block-kernel
+    train step."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.data.loader import DataLoader
+    from matchnerf_tpu.engine import Coach
+    from matchnerf_tpu.utils import DotDict
+
+    from test_engine import tiny_cfg
+
+    gcfg = ge._tiny_cfg(n_layers=1, sample_intvs=32)
+    H = W = 32
+
+    class GeSceneDataset:
+        """Look-at geometry (the synthetic pose rig the kernel e2e tests
+        use) served through the training sample contract."""
+        max_len = -1
+
+        def get_name(self):
+            return "synthetic"
+
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            d = ge._synthetic_inputs(gcfg, 1, H, W, R=8)
+            ext4 = np.repeat(np.eye(4, dtype=np.float32)[None], 4, 0)
+            ext4[:, :3, :] = d["poses"][0]
+            return {
+                "images": d["images"][0],
+                "extrinsics": ext4,
+                "intrinsics": d["intr"][0],
+                "near_fars": d["near_fars"][0],
+                "view_ids": np.arange(4),
+                "scene": f"scene{i}",
+                "img_wh": np.array([W, H]),
+            }
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.max_epoch = 1
+    cfg.nerf.sample_intvs = 32
+    cfg.nerf.rand_rays_train = 64
+    cfg.nerf.train_ray_patches = True
+    cfg.data_train = DotDict(root_dir="", dataset_name="dtu", img_wh=[W, H],
+                             num_workers=1, max_len=-1)
+    cfg.parallel = DotDict(data_parallel=1)
+    cfg.precision = DotDict({"banded_kernel": True, "block_kernel": True,
+                             "cond_sample_dtype": "float32",
+                             "train_packed_tables": True})
+    coach = Coach(cfg)
+    coach.train_loader = DataLoader(GeSceneDataset(), batch_size=1,
+                                    shuffle=False, num_workers=1)
+    coach.build_networks()
+    coach.setup_optimizer()
+    coach.train_model()
+    keys = [k for k in coach._train_steps if k is not None]
+    assert any(k[1] is not None for k in keys), \
+        f"block buckets never engaged: {list(coach._train_steps)}"
+
+
 def test_per_scale_dtype_list_mixed_int4():
     """cond_sample_dtype as a per-scale list ([int4, int8]): the int4 scale
     falls back to the per-ray path under block_kernel, the int8 scale rides
