@@ -400,9 +400,11 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
         md = jnp.bfloat16 if str(get("decoder_matmul_dtype", "")) in \
             ("bf16", "bfloat16") else None
         gr = int(get("decoder_group_rays", 4) or 4)
+        # 16 rays/grid-step halves the grid count (measured 7.9 -> 7.5 ms)
+        br = int(get("decoder_block_rays", 16) or 16)
         rgb_samples, density_samples = cond_nerf_decode(
             params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
-            group_rays=gr, matmul_dtype=md)
+            block_rays=br, group_rays=gr, matmul_dtype=md)
     else:
         rgb_samples, density_samples = apply_cond_nerf(
             params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref,

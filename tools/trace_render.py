@@ -81,6 +81,7 @@ def main():
     parser.add_argument("--color_dtype", type=str, default="float32")
     parser.add_argument("--decoder_matmul_dtype", type=str, default="float32")
     parser.add_argument("--decoder_group_rays", type=int, default=4)
+    parser.add_argument("--decoder_block_rays", type=int, default=8)
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--rays", type=int, default=8192)
     parser.add_argument("--pix", type=str, default="random",
@@ -106,6 +107,7 @@ def main():
     cfg.precision = DotDict({
         "decoder_matmul_dtype": args.decoder_matmul_dtype,
         "decoder_group_rays": args.decoder_group_rays,
+        "decoder_block_rays": args.decoder_block_rays,
     })
     B, H, W, R = 1, 512, 640, args.rays
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
