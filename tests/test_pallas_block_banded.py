@@ -144,6 +144,55 @@ def test_sharded_eval_block_kernel_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_unsafe_pose_falls_back_to_direct_path():
+    """A target pose looking AWAY from the sources (samples behind the
+    reference cameras) must fail the z-safety prep and render through the
+    direct path — bit-identical to a config with all kernels off."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    # target co-located with source 0 but looking BACKWARD: every sample
+    # has z < 0 in source 0's frame — the monotone-band proof fails and the
+    # prep must reject the pose
+    poses_np = np.array(d["poses"])
+    w2c0 = poses_np[0, 0]                                          # [3,4]
+    R0, t0 = w2c0[:, :3], w2c0[:, 3]
+    c2w_R = R0.T @ np.diag([-1.0, 1.0, -1.0]).astype(np.float32)
+    c2w_t = -R0.T @ t0
+    poses_np[0, -1, :3, :3] = c2w_R.T
+    poses_np[0, -1, :3, 3] = -c2w_R.T @ c2w_t
+    poses = extract_poses({"extrinsics": poses_np, "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    def run(kernels):
+        c = DotDict(dict(cfg))
+        c.precision = DotDict({"cond_sample_dtype": "float32",
+                               "banded_kernel": kernels,
+                               "block_kernel": kernels})
+        r = Renderer(c)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        if kernels:
+            scale_hws = [(v.shape[2], v.shape[3])
+                         for v in tables["view_feats"]]
+            kt, ut = r._pose_prep(poses, poses["tgt"], scale_hws, H, W)
+            assert kt is None and ut is None, (kt, ut)
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_direct = run(False)
+    out_fall = run(True)
+    np.testing.assert_allclose(out_fall["rgb"], out_direct["rgb"],
+                               rtol=0, atol=0)
+
+
 def test_block_trainable_grads_match_direct():
     """Custom-VJP block-banded query: value and table gradients match
     autodiff through the direct packed path (patch-aligned coherent rays)."""
