@@ -24,7 +24,7 @@ from .metrics import EvalTools, summarize_loss, summarize_metrics
 from .models.matchnerf import init_matchnerf
 from .renderer import Renderer, extract_poses
 from .train_step import build_optimizer, make_train_step
-from .utils import DotDict, log
+from .utils import DotDict, effective_precision, log
 from .utils.checkpoint import restore_checkpoint, save_checkpoint
 from .utils.logging import update_timer
 from .utils.visualize import save_image, visualize_depth, write_video
@@ -356,7 +356,7 @@ class Coach:
         precision.block_kernel (the trainable block megakernel);
         (None, None) = direct path."""
         cfg = self.cfg
-        prec = cfg.get("precision") or {}
+        prec = effective_precision(cfg)
         if not (hasattr(prec, "get") and prec.get("banded_kernel")):
             return None
         if self.mesh is not None or int(cfg.batch_size) != 1:

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import camera
+from ..utils import effective_precision
 from ..ops.grid_sample import (grid_sample_2d, grid_sample_2d_packed,
                                in_frustum_mask, pack_2x2, packed_rows_and_weights,
                                sample_features_by_grid)
@@ -53,7 +54,7 @@ def encode(params, cfg, ref_images, stream_sharding=None) -> List[jnp.ndarray]:
     layers. Defaults (f32, no remat) are bit-exact with round-1.
     stream_sharding: see gmflow_extract_pair_features — distributes the
     encoder's view/pair streams across a device mesh."""
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     get = prec.get if hasattr(prec, "get") else (lambda *_: None)
     cd_name = get("encoder_compute_dtype", None)
     cd = jnp.bfloat16 if str(cd_name) in ("bf16", "bfloat16") else None
@@ -395,7 +396,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     if decoder_impl == "pallas" and cfg.nerf.view_dep:
         # VMEM-resident decoder megakernel (eval path; ops/pallas_decoder.py)
         from ..ops.pallas_decoder import cond_nerf_decode
-        prec = cfg.get("precision") or {}
+        prec = effective_precision(cfg)
         get = prec.get if hasattr(prec, "get") else (lambda *_: None)
         md = jnp.bfloat16 if str(get("decoder_matmul_dtype", "")) in \
             ("bf16", "bfloat16") else None

@@ -22,7 +22,7 @@ import numpy as np
 from . import camera
 from .models.matchnerf import (encode, prepare_sampling_tables,  # noqa: F401
                                render_rays, sample_depth)
-from .utils import DotDict, log
+from .utils import DotDict, effective_precision, log
 
 
 def cond_sample_dtype(cfg):
@@ -30,7 +30,7 @@ def cond_sample_dtype(cfg):
     ~1e-3 relative sampling error (measured 79.8 dB vs f32 at DTU shapes);
     int8 halves it again via per-channel abs-max quantization; f32 for strict
     parity runs."""
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     name = prec.get("cond_sample_dtype", "bfloat16") if hasattr(prec, "get") else "bfloat16"
 
     def one(n):
@@ -52,7 +52,7 @@ def color_sample_dtype(cfg):
     """dtype for the packed color table: uint8 stores round(img*255) — exact
     for the 8-bit source datasets and ~4x faster to gather (the 640x512x12
     u8 table stays VMEM-resident); f32 for strict parity on float inputs."""
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     name = prec.get("color_sample_dtype", "float32") if hasattr(prec, "get") else "float32"
     if str(name) in ("u8", "uint8"):
         return jnp.uint8
@@ -73,7 +73,7 @@ def banded_impl(cfg) -> Optional[str]:
       (the expansion materializes [R,S,4C] in HBM); kept for parity testing
     - None: direct packed gathers
     """
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     if not hasattr(prec, "get"):
         return None
     if bool(prec.get("block_kernel", False)):
@@ -88,7 +88,7 @@ def banded_impl(cfg) -> Optional[str]:
 def decoder_impl(cfg) -> str:
     """'pallas' routes the view_dep CondNeRF through the VMEM-resident
     decoder megakernel (ops/pallas_decoder.py) on the eval path."""
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     if hasattr(prec, "get") and bool(prec.get("decoder_kernel", False)):
         return "pallas"
     return "xla"
@@ -248,7 +248,7 @@ class Renderer:
                 # experimental Pallas interp+cosine fusion; measured slower
                 # than XLA's own fusion on v5e (208 vs 182 ms/8k rays), so off
                 # by default — flip precision.fused_cosine to re-evaluate
-                prec = cfg.get("precision") or {}
+                prec = effective_precision(cfg)
                 fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
                 pix_xy = self._ray_constraint(pix_xy, 1)
                 return render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_nf,
@@ -301,7 +301,7 @@ class Renderer:
                dec_impl)
         if key not in self._render_jit:
             cfg = self.cfg
-            prec = cfg.get("precision") or {}
+            prec = effective_precision(cfg)
             fused = bool(prec.get("fused_cosine", False)) if hasattr(prec, "get") else False
 
             def _render_groups_local(params, pix_groups, tgt_intr, tgt_c2w,

@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 from .models.matchnerf import encode, prepare_sampling_tables, render_rays
+from .utils import effective_precision
 
 
 def make_schedule(optim_cfg, peak_lr: float, total_steps: int):
@@ -127,7 +128,7 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
         if not hasattr(par, "get") or par.get("shard_encoder_streams", True):
             stream_sharding = NamedSharding(mesh, P("data"))
 
-    prec = cfg.get("precision") or {}
+    prec = effective_precision(cfg)
     train_tables = bool(prec.get("train_packed_tables", True)) \
         if hasattr(prec, "get") else True
     ray_patches = bool(cfg.nerf.get("train_ray_patches", False)) \

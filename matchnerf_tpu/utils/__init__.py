@@ -1,2 +1,2 @@
-from .containers import DotDict, to_plain_dict
+from .containers import DotDict, effective_precision, to_plain_dict
 from .logging import log

@@ -48,6 +48,42 @@ class DotDict(dict):
         return DotDict(self)
 
 
+# precision.strict=true collapses every lossy / fast-path knob to the
+# oracle-parity configuration in one switch (docs/REPRODUCE.md §2): f32
+# sampling/color tables, f32 encoder + decoder matmuls, direct XLA cond
+# query (no banded/block/fused kernels), XLA decoder. The direct f32 path is
+# the formulation parity-tested against the torch reference
+# (/root/reference/models/matchnerf.py:209-293) to MAE < 2e-4.
+_STRICT_PRECISION = {
+    "cond_sample_dtype": "float32",
+    "color_sample_dtype": "float32",
+    "encoder_compute_dtype": "float32",
+    "decoder_matmul_dtype": "float32",
+    "banded_kernel": False,
+    "block_kernel": False,
+    "banded_gather": False,
+    "decoder_kernel": False,
+    "fused_cosine": False,
+}
+
+
+def effective_precision(cfg: Any) -> Any:
+    """The precision section of `cfg` with `strict: true` resolved.
+
+    Every consumer of precision knobs goes through this accessor, so the
+    strict preset cannot be partially applied: whatever fast-path keys a
+    config (or its `_parent_`) sets, `precision.strict: true` overrides
+    them all at read time.
+    """
+    prec = cfg.get("precision") if hasattr(cfg, "get") else None
+    prec = prec or {}
+    if hasattr(prec, "get") and bool(prec.get("strict", False)):
+        out = DotDict(prec)
+        out.update(_STRICT_PRECISION)
+        return out
+    return prec
+
+
 def to_plain_dict(d: Any) -> Any:
     """Recursively convert DotDict trees back to plain dicts (for YAML dumps)."""
     if isinstance(d, Mapping):

@@ -53,6 +53,82 @@ def test_bf16_tables_within_tolerance(tmp_path):
     assert np.abs(a - b).max() < 5e-2
 
 
+def test_strict_preset_disables_every_fast_path():
+    """precision.strict=true must collapse all lossy/fast-path knobs at read
+    time, whatever the config (or its _parent_) sets — the de-risked one-switch
+    recipe for the real-asset parity run (docs/REPRODUCE.md)."""
+    from matchnerf_tpu.renderer import (banded_impl, color_sample_dtype,
+                                        cond_sample_dtype, decoder_impl)
+    from matchnerf_tpu.utils import DotDict, effective_precision
+
+    cfg = DotDict(precision=DotDict(
+        # worst case: every fast path explicitly enabled...
+        cond_sample_dtype="int8", color_sample_dtype="uint8",
+        encoder_compute_dtype="bfloat16", decoder_matmul_dtype="bfloat16",
+        banded_kernel=True, block_kernel=True, banded_gather=True,
+        decoder_kernel=True, fused_cosine=True,
+        # ...then the one switch
+        strict=True))
+    assert cond_sample_dtype(cfg) is jnp.float32
+    assert color_sample_dtype(cfg) is None          # None = f32 color path
+    assert banded_impl(cfg) is None                 # direct XLA cond query
+    assert decoder_impl(cfg) == "xla"
+    prec = effective_precision(cfg)
+    assert prec["encoder_compute_dtype"] == "float32"
+    assert prec["decoder_matmul_dtype"] == "float32"
+    assert not prec["fused_cosine"]
+    # without the switch the fast settings are honored unchanged
+    cfg.precision.strict = False
+    assert cond_sample_dtype(cfg) is jnp.int8
+    assert banded_impl(cfg) == "block"
+    assert decoder_impl(cfg) == "pallas"
+
+
+def test_strict_yaml_preset_overrides_parent():
+    """configs/test_strict.yaml inherits the fast eval stack from test.yaml
+    and must still resolve to the strict path."""
+    from matchnerf_tpu.config import load_options
+    from matchnerf_tpu.renderer import (banded_impl, color_sample_dtype,
+                                        cond_sample_dtype, decoder_impl)
+
+    cfg = load_options("test_strict")
+    # the parent really does enable the fast stack...
+    assert cfg.precision.block_kernel and cfg.precision.decoder_kernel
+    assert cfg.precision.strict
+    # ...and the accessors resolve strict anyway
+    assert cond_sample_dtype(cfg) is jnp.float32
+    assert color_sample_dtype(cfg) is None
+    assert banded_impl(cfg) is None
+    assert decoder_impl(cfg) == "xla"
+
+
+def test_strict_preset_renders_like_explicit_f32(tmp_path):
+    """End to end: a strict-preset render is bit-identical to the manual
+    five-override f32 configuration it replaces."""
+    from matchnerf_tpu.data.loader import collate
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = tiny_cfg(tmp_path)
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    batch = collate([SyntheticDataset(n=1, H=16, W=16)[0]])
+
+    cfg_fast_plus_strict = tiny_cfg(tmp_path)
+    cfg_fast_plus_strict.precision = DotDict(
+        cond_sample_dtype="int8", color_sample_dtype="uint8",
+        banded_kernel=True, block_kernel=True, decoder_kernel=True,
+        strict=True)
+    cfg_manual = tiny_cfg(tmp_path)
+    cfg_manual.precision = DotDict(
+        cond_sample_dtype="float32", color_sample_dtype="float32",
+        encoder_compute_dtype="float32", banded_kernel=False,
+        block_kernel=False, decoder_kernel=False)
+    a = Renderer(cfg_fast_plus_strict).forward(params, batch, mode="test")
+    b = Renderer(cfg_manual).forward(params, batch, mode="test")
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
 def test_wo_self_attn_encoder_parity():
     torch = pytest.importorskip("torch")
     from torch_oracle import install_reference
