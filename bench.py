@@ -116,19 +116,62 @@ def main():
             return carry
         return run
 
-    def timed(K):
-        run = make_run(K)
-        out = run(pix, params, tables)         # compile
+    runs = {}
+
+    def timed(K, pix_k):
+        if K not in runs:
+            runs[K] = make_run(K)              # trace+compile once per K
+        run = runs[K]
+        out = run(pix_k, params, tables)       # warm (compile on first attempt)
         np.asarray(out).sum()
         t0 = time.perf_counter()
-        out = run(pix, params, tables)
+        out = run(pix_k, params, tables)
         np.asarray(out).sum()
         return time.perf_counter() - t0
 
+    # --- contention guard -------------------------------------------------
+    # The marginal-slope measurement corrupts under host load (measured 208k
+    # vs 243.7k rays/s with a concurrent CPU-heavy job): the relay dispatch
+    # path runs on the host, so contention inflates t_hi - t_lo. Two
+    # defenses: (1) refuse to start under heavy load; (2) repeat the slope
+    # and require agreement — contention only ever ADDS time, so the MIN
+    # slope across attempts is the cleanest one, and a spread > 10% between
+    # the two best attempts flags a noisy measurement on stderr.
+    import os
+    try:
+        load1 = os.getloadavg()[0]
+        ncpu = os.cpu_count() or 1
+        for _ in range(6):
+            if load1 < 0.5 * ncpu:
+                break
+            print(f"# host loadavg {load1:.1f} (ncpu={ncpu}) — waiting for "
+                  "quiet host (bench corrupts under contention)", file=sys.stderr)
+            time.sleep(20)
+            load1 = os.getloadavg()[0]
+        else:
+            print(f"# WARNING: still loaded (loadavg {load1:.1f}); measurement "
+                  "may read low", file=sys.stderr)
+    except OSError:
+        pass
+
     K_lo, K_hi = 4, 12
-    t_lo = timed(K_lo)
-    t_hi = timed(K_hi)
-    dt = max((t_hi - t_lo) / (K_hi - K_lo), 1e-6)
+
+    def slope_once(attempt):
+        # shift the ray window per attempt: never re-issue a byte-identical
+        # dispatch (the relay memoizes those and reports ~0 time)
+        pix_k = jnp.asarray(grid[off + 8 * attempt:off + 8 * attempt + R][None])
+        t_lo = timed(K_lo, pix_k)
+        t_hi = timed(K_hi, pix_k)
+        return max((t_hi - t_lo) / (K_hi - K_lo), 1e-6)
+
+    slopes = sorted(slope_once(a) for a in range(3))
+    spread = (slopes[1] - slopes[0]) / slopes[0]
+    if spread > 0.10:
+        print(f"# WARNING: slope spread {spread * 100:.0f}% across attempts "
+              f"({[round(s * 1e3, 1) for s in slopes]} ms) — host contention "
+              "suspected; reporting the fastest (least contaminated) attempt",
+              file=sys.stderr)
+    dt = slopes[0]
 
     # encoder share, amortized once per image: K chained encodes
     @jax.jit
