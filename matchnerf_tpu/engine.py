@@ -406,12 +406,23 @@ class Coach:
         step_fn = self._get_train_step(self._train_banded_kt(batch))
         self.params, self.opt_state, loss_parts = step_fn(
             self.params, self.opt_state, dev_batch, step_rng)
-        loss = summarize_loss({"render": loss_parts["render"]}, self.cfg.loss_weight)
+        # TPU-first: do NOT materialize the loss every step — a float()
+        # blocks on the step result and kills dispatch pipelining. The
+        # returned dict carries device scalars; summarize_loss (host float +
+        # NaN/Inf fail-fast asserts, the reference's per-step behavior,
+        # coach.py:245-259) runs only on freq.scalar boundaries, or every
+        # step with sync_loss_every_step: true.
+        weights = self.cfg.loss_weight
+        loss = {"render": loss_parts["render"],
+                "all": float(weights["render"]) * loss_parts["render"]}
 
         self.it += 1
         self.timer["it_end"] = time.time()
         update_timer(self.timer, self.cfg.max_epoch, self.ep, len(self.train_loader))
         freq = self.cfg.freq
+        if (bool(self.cfg.get("sync_loss_every_step", False))
+                or (freq.scalar > 0 and self.it % freq.scalar == 0)):
+            loss = summarize_loss({"render": loss_parts["render"]}, weights)
         if freq.scalar > 0 and self.it % freq.scalar == 0:
             self.log_scalars(loss=loss, lrates=self.get_cur_lrates(),
                              step=self.it, split="train")

@@ -108,6 +108,25 @@ def test_train_step_descends(tmp_path):
     # scalars were logged
     assert os.path.exists(coach.scalars_path)
 
+    # host-sync gating: summarize_loss (host float() + NaN asserts, which
+    # blocks on the step result) must run only on freq.scalar boundaries by
+    # default, every step with sync_loss_every_step
+    import matchnerf_tpu.engine as engine_mod
+    calls = []
+    orig = engine_mod.summarize_loss
+    engine_mod.summarize_loss = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+    try:
+        coach.cfg.freq.scalar = 2
+        l1 = coach.train_iteration(batches[0])    # it odd -> gated, no sync
+        assert not calls and np.isfinite(float(l1["all"]))
+        coach.train_iteration(batches[0])         # it even -> summarized
+        assert len(calls) == 1
+        coach.cfg.sync_loss_every_step = True
+        coach.train_iteration(batches[0])         # forced reference behavior
+        assert len(calls) == 2
+    finally:
+        engine_mod.summarize_loss = orig
+
 
 def test_checkpoint_roundtrip(tmp_path):
     from matchnerf_tpu.engine import Coach
