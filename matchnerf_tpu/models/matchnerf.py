@@ -403,6 +403,17 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
         gr = int(get("decoder_group_rays", 4) or 4)
         # 16 rays/grid-step halves the grid count (measured 7.9 -> 7.5 ms)
         br = int(get("decoder_block_rays", 16) or 16)
+        fold = get("decoder_fold_composite", True)
+        fold = True if fold is None else bool(fold)
+        if fold:
+            # composite folded into the kernel: the [R,S,4] activation never
+            # leaves VMEM; the kernel emits rgb/depth/opacity directly
+            rgb, depth, opacity = cond_nerf_decode(
+                params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
+                block_rays=br, group_rays=gr, matmul_dtype=md,
+                fold_composite=True, depth_samples=depth_samples, ray=ray,
+                setbg_opaque=setbg_opaque)
+            return {"rgb": rgb, "depth": depth, "opacity": opacity}
         rgb_samples, density_samples = cond_nerf_decode(
             params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
             block_rays=br, group_rays=gr, matmul_dtype=md)

@@ -51,7 +51,10 @@ def _posenc_legacy_T(x, L: int):
 def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                      block_rays: int = 8, group_rays: int = 4,
                      matmul_dtype=None,
-                     interpret: Optional[bool] = None):
+                     interpret: Optional[bool] = None,
+                     fold_composite: bool = False,
+                     depth_samples=None, ray=None,
+                     setbg_opaque: bool = False):
     """Pallas counterpart of apply_cond_nerf for the view_dep CondNeRF.
 
     points_3d: [B,R,S,3]; ray_unit: [B,R,S,3]; cond_info dict with feat_info
@@ -62,6 +65,16 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     matmuls (the MLP/heads, ~95% of the FLOPs) to bf16 with f32
     accumulation; activations, the 16-wide ray-attention, softmax/LayerNorm
     stats stay f32 (precision.decoder_matmul_dtype).
+
+    fold_composite=True additionally runs the emission-absorption quadrature
+    (cond_nerf.composite / reference nerf.py:101-124) INSIDE the kernel —
+    the exclusive transmittance cumsum becomes one block-diagonal
+    strictly-lower-triangular matmul over the lane (sample) axis, the
+    rgb/depth/opacity integrals one segment-sum matmul — so the [N,4,S]
+    activation never round-trips HBM; the kernel then writes 8 floats per
+    ray and returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1]).
+    Requires depth_samples [B,R,S,1]; `ray` [B,R,3] (unnormalized) is only
+    read when nerf.wo_render_interval is false.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -94,6 +107,20 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     featT = T(cond_info["feat_info"])
     colT = T(cond_info["color_info"])
     maskT = T(cond_info["mask_info"])
+
+    wo_render_interval = bool(cfg.nerf.wo_render_interval)
+    if fold_composite:
+        assert depth_samples is not None
+        depth = depth_samples[..., 0]                               # [B,R,S]
+        if wo_render_interval:
+            dfac = jnp.ones_like(depth)        # sigma_delta = raw sigma
+        else:
+            ray_length = jnp.linalg.norm(ray, axis=-1, keepdims=True)
+            intv = depth[..., 1:] - depth[..., :-1]
+            intv = jnp.concatenate(
+                [intv, jnp.full_like(intv[..., :1], 1e10)], axis=-1)
+            dfac = intv * ray_length
+        ctxT = T(jnp.stack([depth, dfac], axis=-1))                 # (N,2,S)
 
     if raytrans_posenc:
         from .posenc import ray_sinusoid_table
@@ -139,8 +166,11 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     group_rays = min(group_rays, block_rays)
     assert block_rays % group_rays == 0
 
-    def kernel(ndc_ref, ray_ref, feat_ref, col_ref, mask_ref, postab_ref,
-               *w_refs):
+    def kernel(ndc_ref, ray_ref, feat_ref, col_ref, mask_ref, *rest):
+        if fold_composite:
+            ctx_ref, rest = rest[0], rest[1:]
+        postab_ref = rest[0]
+        w_refs = rest[1:]
         out_ref = w_refs[-1]
         w_refs = w_refs[:-1]
         it = iter(range(len(w_refs)))
@@ -196,13 +226,16 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
 
             # ----- density branch: the ray transformer. Everything pointwise
             # (qkv projections, fc, LayerNorm, the two output linears) runs
-            # ray-grouped on (ch, GS); only scores/attn-output drop to
-            # per-ray, and there the 4 heads fold into ONE pair of matmuls
-            # each via a block-masked query (head h's q occupies rows
-            # 4h..4h+4 of columns hS..(h+1)S; rows outside a head are zero,
-            # so the 16-deep contraction computes all 4 head scores at once).
-            # 8 small matmuls/ray -> 2: the kernel was matmul-issue-bound
-            # (measured: attention 9ms of 14, softmax only 1.4ms).
+            # ray-grouped on (ch, GS). The attention itself is batched over
+            # BOTH heads and rays with one pair of block-masked matmuls per
+            # GROUP (round 2 folded the 4 heads per ray, 8 matmuls/ray -> 2;
+            # round 3 folds the GR rays too, 2*GR -> 2 per group): K/V stack
+            # the rays on the contraction (sublane) axis, the query is tiled
+            # to (ray, head)-major columns and masked so column block (j,h)
+            # contracts exactly ray j's head-h rows — the kernel was
+            # matmul-ISSUE-bound, so fewer, fatter matmuls win despite the
+            # masked-out FLOPs (contraction depth 16 -> 16*GR also feeds the
+            # 128-deep MXU better).
             tokg = act(mm(alpha_w, h, alpha_b, wide=True))           # (16,GS)
             tokg = tokg + jnp.concatenate([postab_ref[:]] * GR, axis=1)
             nvg = jnp.sum(mask, axis=0, keepdims=True)               # (1,GS)
@@ -210,27 +243,43 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             wqkv = jnp.concatenate([wq[:], wk[:], wv[:]], axis=1)    # (16,48)
             qkv = jax.lax.dot_general(wqkv, tokg, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-            # static head masks
+            q_all = qkv[0:16] * inv                                  # (16,GS)
+            k_all = qkv[16:32]
+            v_all = qkv[32:48]
+            Mw = GR * n_head * S
+            k_big = jnp.concatenate(
+                [k_all[:, j * S:(j + 1) * S] for j in range(GR)], axis=0)
+            v_big = jnp.concatenate(
+                [v_all[:, j * S:(j + 1) * S] for j in range(GR)], axis=0)
+            q_tiled = jnp.concatenate(
+                [q_all[:, j * S:(j + 1) * S]
+                 for j in range(GR) for _ in range(n_head)], axis=1)  # (16,Mw)
+            cb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 0)
+            mb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 1)
+            sel = ((cb // 16 == mb // (n_head * S))
+                   & ((cb % 16) // d_k == (mb % (n_head * S)) // S))
+            q_big = jnp.where(sel, jnp.concatenate([q_tiled] * GR, axis=0),
+                              0.0)                                   # (16GR,Mw)
+            scoresT = jax.lax.dot_general(
+                k_big, q_big, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                  # (S,Mw)
+            attnT = jax.nn.softmax(scoresT, axis=0)
+            out_all = jax.lax.dot_general(
+                v_big, attnT, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                  # (16GR,Mw)
+            # static head-fold mask (as in r2, per 16-row ray block)
             c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
             hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
             headmask = (c16 // d_k == hS).astype(jnp.float32)        # (16,4S)
             outs_j = []
             for j in range(GR):
-                q = qkv[0:16, j * S:(j + 1) * S] * inv               # (16,S)
-                k = qkv[16:32, j * S:(j + 1) * S]
-                v = qkv[32:48, j * S:(j + 1) * S]
-                qp = jnp.concatenate([q] * n_head, axis=1) * headmask
-                scoresT = jax.lax.dot_general(
-                    k, qp, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)              # (S,4S)
-                attnT = jax.nn.softmax(scoresT, axis=0)
-                out_all = jax.lax.dot_general(
-                    v, attnT, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)              # (16,4S)
-                cat = sum(out_all[:, hh * S:(hh + 1) * S]
+                blk = out_all[16 * j:16 * (j + 1),
+                              j * n_head * S:(j + 1) * n_head * S]   # (16,4S)
+                cat = sum(blk[:, hh * S:(hh + 1) * S]
                           * headmask[:, hh * S:hh * S + 1]
                           for hh in range(n_head))                   # (16,S)
-                vmean = jnp.mean(v, axis=1, keepdims=True)           # (16,1)
+                vmean = jnp.mean(v_all[:, j * S:(j + 1) * S], axis=1,
+                                 keepdims=True)                      # (16,1)
                 maskq = nvg[:, j * S:(j + 1) * S] > 1.0              # (1,S)
                 outs_j.append(jnp.where(maskq, cat, vmean))
             o = mm(fc, jnp.concatenate(outs_j, axis=1)) + tokg       # (16,GS)
@@ -249,12 +298,50 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             hv = jnp.maximum(mm(view_w, hv, view_b, wide=True), 0.0) # (W/2,GS)
             rgb = jax.nn.sigmoid(mm(rgb_w, hv, rgb_b, wide=True))    # (3,GS)
 
-            for j, b in enumerate(bs):
-                out_ref[b] = jnp.concatenate(
-                    [rgb[:, j * S:(j + 1) * S], alphas[j]], axis=0)  # (4,S)
+            if fold_composite:
+                # ----- emission-absorption quadrature, in (1,GS) layout.
+                # Exclusive cumsum along each ray's S-lane segment is one
+                # block-diagonal strictly-lower-triangular matmul; the
+                # rgb/depth/opacity integrals one segment-sum matmul.
+                GS = GR * S
+                r1 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 0)
+                r2 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 1)
+                ubig = ((r1 // S == r2 // S) & (r1 % S < r2 % S)) \
+                    .astype(jnp.float32)                             # (GS,GS)
+                seg = (jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 0) // S
+                       == jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 1)) \
+                    .astype(jnp.float32)                             # (GS,GR)
+                dep = jnp.concatenate([ctx_ref[b, 0:1] for b in bs], axis=1)
+                dfa = jnp.concatenate([ctx_ref[b, 1:2] for b in bs], axis=1)
+                sd = alphag * dfa                                    # (1,GS)
+                cum = jax.lax.dot_general(
+                    sd, ubig, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (1,GS)
+                prob = jnp.exp(-cum) * (1.0 - jnp.exp(-sd))          # (1,GS)
+
+                def segsum(x):                                       # (c,GS)->(c,GR)
+                    return jax.lax.dot_general(
+                        x, seg, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                rgb_out = segsum(rgb * prob)                         # (3,GR)
+                depth_out = segsum(dep * prob)                       # (1,GR)
+                opac = segsum(prob)                                  # (1,GR)
+                if setbg_opaque:
+                    rgb_out = rgb_out + (1.0 - opac)
+                out_ref[0, 0:3, g * GR:(g + 1) * GR] = rgb_out
+                out_ref[0, 3:4, g * GR:(g + 1) * GR] = depth_out
+                out_ref[0, 4:5, g * GR:(g + 1) * GR] = opac
+                out_ref[0, 5:8, g * GR:(g + 1) * GR] = jnp.zeros(
+                    (3, GR), jnp.float32)
+            else:
+                for j, b in enumerate(bs):
+                    out_ref[b] = jnp.concatenate(
+                        [rgb[:, j * S:(j + 1) * S], alphas[j]], axis=0)  # (4,S)
 
     pad = (-N) % block_rays
     ins = [ndcT, rayT, featT, colT, maskT]
+    if fold_composite:
+        ins.append(ctxT)
     if pad:
         ins = [jnp.pad(x, ((0, pad), (0, 0), (0, 0))) for x in ins]
     Np = N + pad
@@ -270,15 +357,34 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
+    if fold_composite:
+        # Mosaic requires the trailing block dims be (8,128)-aligned or
+        # equal to the array dims; a (nblocks, 8, block_rays) layout keeps
+        # the per-step block equal to the full trailing dims.
+        out_shape = jax.ShapeDtypeStruct((Np // block_rays, 8, block_rays),
+                                         jnp.float32)
+        out_specs = pl.BlockSpec((1, 8, block_rays), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((Np, 4, S), jnp.float32)
+        out_specs = pl.BlockSpec((block_rays, 4, S), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Np, 4, S), jnp.float32),
+        out_shape=out_shape,
         grid=(Np // block_rays,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((block_rays, 4, S), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         interpret=interpret,
     )(*ins, postab, *wl)
+
+    if fold_composite:
+        out = jnp.swapaxes(out, 1, 2).reshape(Np, 8)[:N]            # [N,8]
+        rgb = out[:, 0:3].reshape(B, R, 3)
+        depth = out[:, 3:4].reshape(B, R, 1)
+        opacity = out[:, 4:5].reshape(B, R, 1)
+        return rgb, depth, opacity
 
     out = out[:N]                                                   # [N,4,S]
     rgb = jnp.swapaxes(out[:, :3, :], -1, -2).reshape(B, R, S, 3)

@@ -67,3 +67,45 @@ def test_decoder_kernel_view_posenc():
     cfg.decoder = DotDict(dict(cfg.decoder))
     cfg.decoder.posenc = DotDict({"L_3D": 10, "L_view": 4})
     _compare(cfg, seed=3)
+
+
+def _compare_folded(cfg, setbg=False, seed=0, B=1, R=11, S=16):
+    from matchnerf_tpu.models.decoder.cond_nerf import composite
+    params, pts, ray_unit, cond = _setup(cfg, B=B, R=R, S=S, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    # stratified-ish increasing depths + an unnormalized ray for dist scaling
+    base = np.sort(rng.uniform(2.0, 4.5, (B, R, S)), axis=-1).astype(np.float32)
+    depth_samples = jnp.asarray(base[..., None])
+    ray_raw = jnp.asarray(rng.normal(0, 1, (B, R, 3)).astype(np.float32))
+
+    rgb_s, den_s = apply_cond_nerf(params, cfg, pts, ray_unit=ray_unit,
+                                   cond_info=cond)
+    rgb_ref, dep_ref, op_ref, _ = composite(cfg, ray_raw, rgb_s, den_s,
+                                            depth_samples, setbg_opaque=setbg)
+    rgb, dep, op = cond_nerf_decode(
+        params, cfg, pts, ray_unit, cond, block_rays=4, fold_composite=True,
+        depth_samples=depth_samples, ray=ray_raw, setbg_opaque=setbg)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(dep_ref),
+                               atol=3e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(op_ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_decoder_kernel_folded_composite():
+    """Composite-in-kernel (triangular-matmul transmittance) vs the XLA
+    apply_cond_nerf + composite pipeline (reference nerf.py:101-124)."""
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=16)
+    _compare_folded(cfg)
+
+
+def test_decoder_kernel_folded_composite_variants():
+    # with render intervals (sigma*delta) + opaque background + maskfill
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=16)
+    cfg = DotDict(dict(cfg))
+    cfg.nerf = DotDict(dict(cfg.nerf))
+    cfg.nerf.wo_render_interval = False
+    cfg.decoder = DotDict(dict(cfg.decoder))
+    cfg.decoder.density_maskfill = True
+    _compare_folded(cfg, setbg=True, seed=4, B=2, R=7)
