@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ...ops.nn import init_linear, linear, relu, sigmoid
 from ...ops.posenc import nerf_posenc, nerf_posenc_legacy, ray_sinusoid_table
+from ...utils import effective_precision
 from .ray_transformer import apply_ray_attention, init_ray_attention
 
 
@@ -79,24 +80,38 @@ def apply_cond_nerf(p, cfg, points_3d, ray_unit=None, cond_info=None):
     legacy = cfg.nerf.legacy_coord
     enc_fn = nerf_posenc_legacy if legacy else nerf_posenc
 
+    # opt-in mixed precision for the width-W MLP (training path; the eval
+    # megakernel has its own decoder_matmul_dtype knob): bf16 matmuls on the
+    # heavy [B*R*S, W] layers with f32 master weights (cast in-graph, grads
+    # flow back through the cast). The 16-d density head, attention softmax
+    # and all outputs stay f32 — they are tiny and numerically sensitive.
+    prec = effective_precision(cfg)
+    cd_name = prec.get("decoder_compute_dtype") if hasattr(prec, "get") else None
+    cd = jnp.bfloat16 if str(cd_name) in ("bf16", "bfloat16") else None
+    cast = (lambda x: x.astype(cd)) if cd is not None else (lambda x: x)
+    castp = ((lambda q: jax.tree_util.tree_map(
+        lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, q))
+        if cd is not None else (lambda q: q))
+
     if cfg.decoder.posenc:
         points_enc = jnp.concatenate(
             [points_3d, enc_fn(points_3d, cfg.decoder.posenc.L_3D)], axis=-1)
     else:
         points_enc = points_3d
+    points_enc = cast(points_enc)
 
     input_feats = jnp.concatenate(
         [cond_info["feat_info"], cond_info["color_info"], cond_info["mask_info"]], axis=-1)
 
     h = points_enc
-    bias = linear(p["pts_bias"], input_feats)
+    bias = linear(castp(p["pts_bias"]), cast(input_feats))
     for i, lp in enumerate(p["pts_linears"]):
-        h = relu(linear(lp, h) * bias)
+        h = relu(linear(castp(lp), h) * bias)
         if i in skip:
             h = jnp.concatenate([points_enc, h], axis=-1)
 
     if not cfg.nerf.view_dep:
-        out = linear(p["output_linear"], h)
+        out = linear(p["output_linear"], h).astype(jnp.float32)
         return out[..., :3], out[..., 3]
 
     if cfg.decoder.posenc and cfg.decoder.posenc.L_view > 0:
@@ -127,11 +142,12 @@ def apply_cond_nerf(p, cfg, points_3d, ray_unit=None, cond_info=None):
     density = alpha.reshape(B, R, S)
 
     # rgb branch
-    feature = linear(p["feature_linear"], h)
-    hv = jnp.concatenate([feature, ray_enc], axis=-1)
+    feature = linear(castp(p["feature_linear"]), h)
+    hv = jnp.concatenate([feature, cast(ray_enc)], axis=-1)
     for lp in p["views_linears"]:
-        hv = relu(linear(lp, hv))
-    rgb = sigmoid(linear(p["rgb_linear"], hv))                # [B,R,S,3]
+        hv = relu(linear(castp(lp), hv))
+    rgb = sigmoid(linear(p["rgb_linear"], hv)
+                  .astype(jnp.float32))                       # [B,R,S,3]
 
     return rgb, density
 

@@ -58,9 +58,11 @@ _STRICT_PRECISION = {
     "cond_sample_dtype": "float32",
     "color_sample_dtype": "float32",
     "encoder_compute_dtype": "float32",
+    "decoder_compute_dtype": "float32",
     "decoder_matmul_dtype": "float32",
     "banded_kernel": False,
     "block_kernel": False,
+    "color_block_kernel": False,
     "banded_gather": False,
     "decoder_kernel": False,
     "fused_cosine": False,

@@ -59,6 +59,61 @@ def test_bf16_train_step_runs_and_tracks_f32():
     assert abs(l16 - l32) / (abs(l32) + 1e-8) < 0.05, (l32, l16)
 
 
+def test_bf16_decoder_close_to_f32():
+    """decoder_compute_dtype=bfloat16 runs the width-W MLP matmuls in bf16
+    with f32 master weights; rgb/density outputs must stay f32 and close."""
+    from matchnerf_tpu.models.decoder.cond_nerf import apply_cond_nerf, init_cond_nerf
+
+    cfg32 = _cfg()
+    cfg16 = _cfg(decoder_compute_dtype="bfloat16")
+    p = init_cond_nerf(jax.random.PRNGKey(0), cfg32)
+    rng = np.random.default_rng(0)
+    B, R, S = 1, 16, 8
+    pts = jnp.asarray(rng.uniform(-1, 1, (B, R, S, 3)).astype(np.float32))
+    ray = pts / jnp.linalg.norm(pts, axis=-1, keepdims=True)
+    G = int(sum(cfg32.encoder.cos_n_group))
+    V = cfg32.n_src_views
+    cond = {"feat_info": jnp.asarray(rng.uniform(-1, 1, (B, R, S, G)).astype(np.float32)),
+            "color_info": jnp.asarray(rng.uniform(0, 1, (B, R, S, 3 * V)).astype(np.float32)),
+            "mask_info": jnp.ones((B, R, S, V), jnp.float32)}
+
+    rgb32, den32 = apply_cond_nerf(p, cfg32, pts, ray_unit=ray, cond_info=cond)
+    rgb16, den16 = apply_cond_nerf(p, cfg16, pts, ray_unit=ray, cond_info=cond)
+    assert rgb16.dtype == jnp.float32 and den16.dtype == jnp.float32
+    assert np.isfinite(np.asarray(rgb16)).all()
+    for a, b, tol in ((rgb32, rgb16, 2e-2), (den32, den16, 6e-2)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-6)
+        assert rel < tol, f"bf16 decoder drifted: rel {rel}"
+
+
+def test_bf16_decoder_train_step_runs_and_tracks_f32():
+    cfg32 = _cfg()
+    cfg16 = _cfg(decoder_compute_dtype="bfloat16")
+    H = W = 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg32)
+    d = ge._synthetic_inputs(cfg32, 1, H, W, R=16)
+    batch = {"images": d["images"], "extrinsics": d["poses"],
+             "intrinsics": d["intr"], "near_fars": d["near_fars"],
+             "tgt_c2w": d["tgt_c2w"]}
+    rng = jax.random.PRNGKey(1)
+
+    def run(cfg):
+        tx, _ = build_optimizer(cfg, total_steps=10)
+        step = make_train_step(cfg, tx, H, W, n_rays=32)
+        new_p, _, loss = step(params, tx.init(params), batch, rng)
+        return float(loss["all"]), new_p
+
+    l32, _ = run(cfg32)
+    l16, p16 = run(cfg16)
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / (abs(l32) + 1e-8) < 0.05, (l32, l16)
+    # the decoder params actually moved and stayed f32/finite
+    for leaf in jax.tree_util.tree_leaves(p16["nerf_dec"]):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_remat_encoder_bit_exact():
     cfg = _cfg()
     cfg_r = _cfg(remat_encoder=True)

@@ -65,6 +65,7 @@ def test_strict_preset_disables_every_fast_path():
         # worst case: every fast path explicitly enabled...
         cond_sample_dtype="int8", color_sample_dtype="uint8",
         encoder_compute_dtype="bfloat16", decoder_matmul_dtype="bfloat16",
+        decoder_compute_dtype="bfloat16",
         banded_kernel=True, block_kernel=True, banded_gather=True,
         decoder_kernel=True, fused_cosine=True,
         # ...then the one switch
@@ -75,6 +76,7 @@ def test_strict_preset_disables_every_fast_path():
     assert decoder_impl(cfg) == "xla"
     prec = effective_precision(cfg)
     assert prec["encoder_compute_dtype"] == "float32"
+    assert prec["decoder_compute_dtype"] == "float32"
     assert prec["decoder_matmul_dtype"] == "float32"
     assert not prec["fused_cosine"]
     # without the switch the fast settings are honored unchanged
