@@ -88,9 +88,12 @@ def main():
     pose_d = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
                             "near_fars": d["near_fars"]})
     rend = Renderer(bcfg)
-    banded_kt = rend._banded_kt(pose_d, pose_d["tgt"], tables, H, W)
-    block_ut = rend._block_ut(pose_d, pose_d["tgt"], tables, H, W, banded_kt)
-    print(f"# banded_kt={banded_kt} block_ut={block_ut}", file=sys.stderr)
+    scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
+    banded_kt, block_ut, color_ut = rend._pose_prep(
+        pose_d, pose_d["tgt"], scale_hws, H, W,
+        measure_color=tables.get("colors_sc") is not None)
+    print(f"# banded_kt={banded_kt} block_ut={block_ut} color_ut={color_ut}",
+          file=sys.stderr)
 
     def render_slice(params, tables, pix_xy):
         return render_rays(
@@ -100,7 +103,7 @@ def main():
             ref_near_far=nf[:, :-1], ref_images=ref_images,
             pair_feats=None, tables=tables, img_h=H, img_w=W,
             banded_kt=banded_kt, banded_impl="block", block_ut=block_ut,
-            decoder_impl="pallas")["rgb"]
+            color_ut=color_ut, decoder_impl="pallas")["rgb"]
 
     # device-side timing: K chained render slices inside one dispatch
     # (host-side per-dispatch timing is unreliable through the TPU relay);

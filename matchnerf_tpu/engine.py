@@ -380,7 +380,7 @@ class Coach:
                 # device-measured run bound + block-union buckets (covers
                 # every 8-aligned pixel strip of the image)
                 poses = extract_poses(batch)
-                kt, ut = self.renderer._pose_prep(
+                kt, ut, _ = self.renderer._pose_prep(
                     poses, poses["tgt"], scale_hws, H, W)
                 buckets = None if kt is None else (kt, ut)
             else:

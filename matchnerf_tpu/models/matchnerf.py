@@ -178,16 +178,28 @@ def prepare_sampling_tables(cfg, pair_feats, ref_images, feat_dtype=None,
         view_feats.append(packed.reshape(B, n_views, h, w, -1))
     B, V, H, W, _ = ref_images.shape
     color_scale = None
+    colors_sc = None
     if color_dtype is not None and jnp.dtype(color_dtype) == jnp.uint8:
         ref_images = jnp.round(jnp.clip(ref_images, 0.0, 1.0) * 255.0) \
             .astype(jnp.uint8)
         color_scale = 1.0 / 255.0
+        prec = effective_precision(cfg)
+        want_sc = bool(prec.get("color_block_kernel", True)) \
+            if hasattr(prec, "get") else True
+        if keep_unpacked and B == 1 and want_sc:
+            # supercell color table for the block-union color kernel
+            # (ops/pallas_color.py): one 5x5-window row per 4x4 supercell
+            from ..ops.pallas_color import build_supercell_colors
+            colors_sc = build_supercell_colors(
+                ref_images.reshape(B * V, H, W, 3))
+            colors_sc = colors_sc.reshape(B, V, *colors_sc.shape[1:])
     packed_colors = pack_2x2(ref_images.reshape(B * V, H, W, 3)) \
         .reshape(B, V, H, W, 12)
     out = {"view_feats": view_feats, "view_feat_scales": view_scales,
            "colors": packed_colors, "color_scale": color_scale}
     if keep_unpacked:
         out["view_feats_unpacked"] = view_unpacked
+        out["colors_sc"] = colors_sc
     return out
 
 
@@ -210,7 +222,8 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     tables: Optional[dict] = None, fused_cosine: bool = False,
                     banded_kt: Optional[tuple] = None,
                     banded_impl: str = "xla",
-                    block_ut: Optional[tuple] = None):
+                    block_ut: Optional[tuple] = None,
+                    color_ut: Optional[int] = None):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
@@ -233,9 +246,18 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
     # vmapping stacks the tables into a single 3M-index gather whose source
     # exceeds the ~5MB VMEM-residency cliff (tools/bench_gather.py sweep H)
     if tables is not None:
-        colors = jnp.stack([grid_sample_2d_packed(tables["colors"][:, v],
-                                                  grids[v])
-                            for v in range(V)], axis=0)             # [V,B,R,S,3]
+        csc = tables.get("colors_sc") if hasattr(tables, "get") else None
+        if color_ut is not None and csc is not None and B == 1:
+            # supercell block-union color kernel (ops/pallas_color.py):
+            # one union-row gather + bilinear collapse per 8-ray block
+            # instead of one point-gather per (sample, view)
+            from ..ops.pallas_color import supercell_color_sample
+            colors = supercell_color_sample(csc, grids, img_h, img_w,
+                                            ut=color_ut)           # [V,1,R,S,3]
+        else:
+            colors = jnp.stack([grid_sample_2d_packed(tables["colors"][:, v],
+                                                      grids[v])
+                                for v in range(V)], axis=0)         # [V,B,R,S,3]
         cscale = tables.get("color_scale") if hasattr(tables, "get") else None
         if cscale is not None:
             colors = colors.astype(jnp.float32) * cscale
@@ -366,7 +388,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 tables: Optional[dict] = None, fused_cosine: bool = False,
                 banded_kt: Optional[tuple] = None, banded_impl: str = "xla",
                 decoder_impl: str = "xla",
-                block_ut: Optional[tuple] = None):
+                block_ut: Optional[tuple] = None,
+                color_ut: Optional[int] = None):
     """Render a batch of rays (matchnerf.py:88-143).
 
     pix_xy: [B,R,2] target pixel coordinates (legacy-offset already applied
@@ -382,7 +405,8 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
         img_h, img_w, tables=tables, fused_cosine=fused_cosine,
-        banded_kt=banded_kt, banded_impl=banded_impl, block_ut=block_ut)
+        banded_kt=banded_kt, banded_impl=banded_impl, block_ut=block_ut,
+        color_ut=color_ut)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

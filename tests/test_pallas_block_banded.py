@@ -182,7 +182,7 @@ def test_unsafe_pose_falls_back_to_direct_path():
         if kernels:
             scale_hws = [(v.shape[2], v.shape[3])
                          for v in tables["view_feats"]]
-            kt, ut = r._pose_prep(poses, poses["tgt"], scale_hws, H, W)
+            kt, ut, _ = r._pose_prep(poses, poses["tgt"], scale_hws, H, W)
             assert kt is None and ut is None, (kt, ut)
         return r.render_by_slices(params, poses, ref_images, feats, H, W,
                                   tables=tables)

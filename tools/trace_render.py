@@ -79,6 +79,9 @@ def main():
     parser.add_argument("--decoder_impl", type=str, default="xla",
                         choices=["xla", "pallas"])
     parser.add_argument("--color_dtype", type=str, default="float32")
+    parser.add_argument("--no_color_kernel", action="store_true",
+                        help="packed color gather even when the supercell "
+                             "table is available (A/B the color kernel)")
     parser.add_argument("--decoder_matmul_dtype", type=str, default="float32")
     parser.add_argument("--decoder_group_rays", type=int, default=4)
     parser.add_argument("--decoder_block_rays", type=int, default=8)
@@ -161,6 +164,16 @@ def main():
         block_ut = tuple(uts)
         print("block_ut =", block_ut, file=sys.stderr)
 
+    color_ut = None
+    if (keep_unpacked and banded_kt and not args.no_color_kernel
+            and tables.get("colors_sc") is not None):
+        from matchnerf_tpu.ops.pallas_color import (bucket_color_ut,
+                                                    color_union_size)
+        n = max(int(color_union_size(grids[v, 0], H, W))
+                for v in range(grids.shape[0]))
+        color_ut = bucket_color_ut(n)
+        print(f"color_ut = {color_ut} (measured {n})", file=sys.stderr)
+
     @jax.jit
     def run(pix_xy, params, tables):
         def step(carry, _):
@@ -172,7 +185,7 @@ def main():
                               img_h=H, img_w=W, banded_kt=banded_kt,
                               banded_impl=args.banded_impl,
                               decoder_impl=args.decoder_impl,
-                              block_ut=block_ut)["rgb"]
+                              block_ut=block_ut, color_ut=color_ut)["rgb"]
             return pix + 1e-30 * out[0, :1, :2].reshape(1, 1, 2), ()
         carry, _ = jax.lax.scan(step, pix_xy, None, length=4)
         return carry
