@@ -76,8 +76,8 @@ def shape_batch(rng, H, W, focal_mul, near_far):
 
 def _render(params, cfg, batch, pix, H, W, tables_dtype=None,
             color_dtype=None, banded_kt=None, banded_impl="xla",
-            decoder_impl="xla", block_ut=None, keep_unpacked=False,
-            setbg_opaque=False):
+            decoder_impl="xla", block_ut=None, color_ut=None,
+            keep_unpacked=False, setbg_opaque=False):
     ref_images = jnp.asarray(batch["images"][:, :V])
     pair_feats = encode(params, cfg, ref_images)
     tables = None
@@ -97,7 +97,7 @@ def _render(params, cfg, batch, pix, H, W, tables_dtype=None,
         ref_images=ref_images, pair_feats=pair_feats,
         img_h=H, img_w=W, tables=tables, banded_kt=banded_kt,
         banded_impl=banded_impl, decoder_impl=decoder_impl,
-        block_ut=block_ut, setbg_opaque=setbg_opaque)
+        block_ut=block_ut, color_ut=color_ut, setbg_opaque=setbg_opaque)
 
 
 @pytest.mark.parametrize("name,H,W,fmul,nf,setbg",
@@ -127,9 +127,13 @@ def test_production_stack_delta_full_shape(name, H, W, fmul, nf, setbg):
     poses = extract_poses(batch)
     rend = Renderer(bcfg)
     scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
-    banded_kt, block_ut, _ = rend._pose_prep(poses, poses["tgt"], scale_hws,
-                                             H, W)
+    banded_kt, block_ut, color_ut = rend._pose_prep(
+        poses, poses["tgt"], scale_hws, H, W, measure_color=True)
     assert banded_kt is not None, f"pose prep bailed at {name} {W}x{H}"
+    assert color_ut is not None, (
+        f"color supercell union overflowed every bucket at {name} {W}x{H} — "
+        "the packed-gather fallback would take over; if that is the normal "
+        "regime at this shape, pin the fallback instead")
     assert block_ut is not None and all(u for u in block_ut), (
         f"block-union bucket overflowed at {name} {W}x{H}: kt={banded_kt} "
         f"ut={block_ut} — the per-ray/direct fallback would take over; if "
@@ -148,14 +152,15 @@ def test_production_stack_delta_full_shape(name, H, W, fmul, nf, setbg):
     rgb_prod = np.asarray(_render(
         params, cfg, batch, pix, tables_dtype=jnp.int8, color_dtype=jnp.uint8,
         banded_kt=banded_kt, banded_impl="block", block_ut=block_ut,
-        keep_unpacked=True, decoder_impl="pallas", **kwargs)["rgb"])
+        color_ut=color_ut, keep_unpacked=True, decoder_impl="pallas",
+        **kwargs)["rgb"])
 
     mse = float(np.mean((rgb_f32 - rgb_prod) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-20))
     implied = 4.34 * 10 ** ((26.91 - psnr) / 10.0)
     print(f"{name} {W}x{H} production-vs-f32: PSNR {psnr:.1f} dB "
           f"(implied end-metric delta {implied:.4f} dB, buckets kt={banded_kt}"
-          f" ut={block_ut})")
+          f" ut={block_ut} color_ut={color_ut})")
     assert psnr >= 46.5, (
         f"production stack at {name} {W}x{H}: {psnr:.1f} dB vs f32 "
         f"(implied delta {implied:.3f} dB > 0.05)")

@@ -69,7 +69,7 @@ def realistic_batch(rng):
 
 def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
                 banded_kt=None, banded_impl="xla", decoder_impl="xla",
-                block_ut=None, keep_unpacked=False):
+                block_ut=None, color_ut=None, keep_unpacked=False):
     """Render the given pixel coords through the packed-table production
     path; tables_dtype None => no tables (raw 4-tap path)."""
     ref_images = jnp.asarray(batch["images"][:, :V])
@@ -92,7 +92,7 @@ def _our_render(params, cfg, batch, pix, tables_dtype=None, color_dtype=None,
         ref_images=ref_images, pair_feats=pair_feats,
         img_h=H, img_w=W, tables=tables, banded_kt=banded_kt,
         banded_impl=banded_impl, decoder_impl=decoder_impl,
-        block_ut=block_ut)
+        block_ut=block_ut, color_ut=color_ut)
 
 
 def test_oracle_parity_dtu_shapes():
@@ -206,10 +206,13 @@ def test_production_eval_stack_psnr_delta_structured():
                                      keep_unpacked=True)
     poses = extract_poses(batch)
     rend = Renderer(bcfg)
-    banded_kt = rend._banded_kt(poses, poses["tgt"], tables, H, W)
+    scale_hws = [(v.shape[2], v.shape[3]) for v in tables["view_feats"]]
+    banded_kt, block_ut, color_ut = rend._pose_prep(
+        poses, poses["tgt"], scale_hws, H, W, measure_color=True)
     assert banded_kt is not None and all(k for k in banded_kt), banded_kt
-    block_ut = rend._block_ut(poses, poses["tgt"], tables, H, W, banded_kt)
     assert block_ut is not None and all(u for u in block_ut), block_ut
+    assert color_ut is not None, "color supercell union overflowed at DTU"
+
 
     rgb_f32 = np.asarray(
         _our_render(params, cfg, batch, pix, tables_dtype=jnp.float32)["rgb"])
@@ -217,7 +220,8 @@ def test_production_eval_stack_psnr_delta_structured():
         _our_render(params, cfg, batch, pix, tables_dtype=jnp.int8,
                     color_dtype=jnp.uint8, banded_kt=banded_kt,
                     banded_impl="block", block_ut=block_ut,
-                    keep_unpacked=True, decoder_impl="pallas")["rgb"])
+                    color_ut=color_ut, keep_unpacked=True,
+                    decoder_impl="pallas")["rgb"])
 
     mse = float(np.mean((rgb_f32 - rgb_prod) ** 2))
     psnr = -10.0 * np.log10(max(mse, 1e-20))
