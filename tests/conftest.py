@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compilation cache: the suite runs on a single-core host
+# where XLA compiles dominate wall-clock (full fast loop ~60 min, cold);
+# cache entries are keyed on HLO+options+backend so unchanged tests hit disk
+# on re-runs. Same .jax_cache dir the CLI/bench path uses (gitignored).
+from matchnerf_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import inspect  # noqa: E402
 
 import pytest  # noqa: E402
