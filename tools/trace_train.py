@@ -15,6 +15,9 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--encoder_dtype", type=str, default="float32")
+    parser.add_argument("--decoder_dtype", type=str, default="float32",
+                        help="decoder_compute_dtype (bfloat16 = opt-in "
+                             "mixed-precision width-W MLP)")
     parser.add_argument("--banded_kt", type=int, default=0,
                         help="route the cond query through the custom-VJP "
                              "banded kernel with this bucket per scale")
@@ -41,6 +44,7 @@ def main():
     cfg.encoder = DotDict(dict(cfg.encoder))
     cfg.encoder.attention_backend = args.attention_backend
     cfg.precision = DotDict({"encoder_compute_dtype": args.encoder_dtype,
+                             "decoder_compute_dtype": args.decoder_dtype,
                              "remat_encoder": bool(args.remat)})
     cfg.optim = DotDict({
         "lr_enc": 5e-6, "lr_dec": 5e-4, "clip_enc": 1.0,
