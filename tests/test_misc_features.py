@@ -97,3 +97,28 @@ def test_render_by_slices_ragged_tail_grouping(tmp_path):
 
     np.testing.assert_allclose(out_a["rgb"], out_b["rgb"], atol=1e-5)
     np.testing.assert_allclose(out_a["depth"], out_b["depth"], atol=1e-5)
+
+
+def test_write_video_mp4_roundtrip(tmp_path):
+    """write_video must produce a real, readable .mp4 in this container
+    (reference misc/utils.py:316-320 uses skvideo/ffmpeg; our cv2 mp4v
+    fallback needs no system ffmpeg). Round-trips via cv2.VideoCapture."""
+    cv2 = pytest.importorskip("cv2")
+    from matchnerf_tpu.utils.visualize import write_video
+
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, (64, 80, 3), dtype=np.uint8)
+              for _ in range(4)]
+    out = write_video(str(tmp_path / "vid.mp4"), frames, pts_rate=2.0)
+    assert out.endswith(".mp4"), f"fell back to {out}"
+
+    cap = cv2.VideoCapture(out)
+    n = 0
+    while True:
+        ok, fr = cap.read()
+        if not ok:
+            break
+        assert fr.shape == (64, 80, 3)
+        n += 1
+    cap.release()
+    assert n == len(frames)
