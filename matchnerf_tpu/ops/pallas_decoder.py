@@ -189,6 +189,30 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
 
         md = matmul_dtype or jnp.float32
 
+        # ---- constant selector tensors, hoisted OUT of the per-group loop:
+        # they depend only on static shapes, and rebuilding the (16GR,Mw)
+        # and (GS,GS) iota+compare masks once per group (4x per grid step)
+        # is pure VPU waste if Mosaic doesn't CSE the unrolled copies.
+        GR = group_rays
+        Mw = GR * n_head * S
+        inv = 1.0 / jnp.sqrt(jnp.float32(d_k))
+        cb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 0)
+        mb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 1)
+        sel = ((cb // 16 == mb // (n_head * S))
+               & ((cb % 16) // d_k == (mb % (n_head * S)) // S))
+        c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
+        hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
+        headmask = (c16 // d_k == hS).astype(jnp.float32)            # (16,4S)
+        if fold_composite:
+            GS = GR * S
+            r1 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 0)
+            r2 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 1)
+            ubig = ((r1 // S == r2 // S) & (r1 % S < r2 % S)) \
+                .astype(jnp.float32)                                 # (GS,GS)
+            seg = (jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 0) // S
+                   == jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 1)) \
+                .astype(jnp.float32)                                 # (GS,GR)
+
         def mm(w_ref, x, b_ref=None, wide=False):
             w = w_ref[:]
             if wide and md != jnp.float32:
@@ -203,7 +227,6 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         # (ch, GR*S) operands (better MXU shapes than per-ray (ch, S));
         # only the ray transformer, whose attention mixes samples within a
         # ray, drops back to per-ray (16,S) slices
-        GR = group_rays
         for g in range(block_rays // GR):
             bs = [g * GR + j for j in range(GR)]
             pts = jnp.concatenate([ndc_ref[b] for b in bs], axis=1)  # (3,GS)
@@ -239,14 +262,12 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             tokg = act(mm(alpha_w, h, alpha_b, wide=True))           # (16,GS)
             tokg = tokg + jnp.concatenate([postab_ref[:]] * GR, axis=1)
             nvg = jnp.sum(mask, axis=0, keepdims=True)               # (1,GS)
-            inv = 1.0 / jnp.sqrt(jnp.float32(d_k))
             wqkv = jnp.concatenate([wq[:], wk[:], wv[:]], axis=1)    # (16,48)
             qkv = jax.lax.dot_general(wqkv, tokg, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
             q_all = qkv[0:16] * inv                                  # (16,GS)
             k_all = qkv[16:32]
             v_all = qkv[32:48]
-            Mw = GR * n_head * S
             k_big = jnp.concatenate(
                 [k_all[:, j * S:(j + 1) * S] for j in range(GR)], axis=0)
             v_big = jnp.concatenate(
@@ -254,10 +275,6 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             q_tiled = jnp.concatenate(
                 [q_all[:, j * S:(j + 1) * S]
                  for j in range(GR) for _ in range(n_head)], axis=1)  # (16,Mw)
-            cb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 0)
-            mb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 1)
-            sel = ((cb // 16 == mb // (n_head * S))
-                   & ((cb % 16) // d_k == (mb % (n_head * S)) // S))
             q_big = jnp.where(sel, jnp.concatenate([q_tiled] * GR, axis=0),
                               0.0)                                   # (16GR,Mw)
             scoresT = jax.lax.dot_general(
@@ -267,10 +284,7 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             out_all = jax.lax.dot_general(
                 v_big, attnT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)                  # (16GR,Mw)
-            # static head-fold mask (as in r2, per 16-row ray block)
-            c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
-            hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
-            headmask = (c16 // d_k == hS).astype(jnp.float32)        # (16,4S)
+            # static head-fold mask (hoisted above), per 16-row ray block
             outs_j = []
             for j in range(GR):
                 blk = out_all[16 * j:16 * (j + 1),
@@ -302,15 +316,8 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                 # ----- emission-absorption quadrature, in (1,GS) layout.
                 # Exclusive cumsum along each ray's S-lane segment is one
                 # block-diagonal strictly-lower-triangular matmul; the
-                # rgb/depth/opacity integrals one segment-sum matmul.
-                GS = GR * S
-                r1 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 0)
-                r2 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 1)
-                ubig = ((r1 // S == r2 // S) & (r1 % S < r2 % S)) \
-                    .astype(jnp.float32)                             # (GS,GS)
-                seg = (jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 0) // S
-                       == jax.lax.broadcasted_iota(jnp.int32, (GS, GR), 1)) \
-                    .astype(jnp.float32)                             # (GS,GR)
+                # rgb/depth/opacity integrals one segment-sum matmul
+                # (ubig/seg masks hoisted above — loop-invariant).
                 dep = jnp.concatenate([ctx_ref[b, 0:1] for b in bs], axis=1)
                 dfa = jnp.concatenate([ctx_ref[b, 1:2] for b in bs], axis=1)
                 sd = alphag * dfa                                    # (1,GS)
