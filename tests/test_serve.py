@@ -1,0 +1,131 @@
+"""Render-server tests: encode-once/render-many over HTTP matches the direct
+renderer, scene LRU eviction, error handling. CPU backend, tiny shapes."""
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as ge
+from matchnerf_tpu.serve import decode_array, encode_array, serve
+from matchnerf_tpu.utils import DotDict
+
+
+def _call(port, method, path, obj=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method=method,
+        data=None if obj is None else json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server():
+    import jax
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+
+    cfg = ge._tiny_cfg(n_layers=2, sample_intvs=8)
+    cfg = DotDict(dict(cfg))
+    cfg.nerf.rand_rays_test = 64
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    httpd = serve(cfg, params, port=0, max_scenes=2)   # port 0 = ephemeral
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd, cfg, params
+    httpd.shutdown()
+
+
+def _scene_payload(cfg, H=32, W=32, seed=0):
+    d = ge._synthetic_inputs(cfg, 1, H, W, 8, seed=seed)
+    V = cfg.n_src_views
+    return {
+        "images": encode_array(d["images"][0, :V]),
+        "extrinsics": encode_array(d["poses"][0, :V]),
+        "intrinsics": encode_array(d["intr"][0, :V]),
+        "near_fars": encode_array(d["near_fars"][0, :V]),
+    }, d
+
+
+def test_serve_matches_direct_render(server):
+    httpd, cfg, params = server
+    port = httpd.server_address[1]
+
+    code, health = _call(port, "GET", "/healthz")
+    assert code == 200 and health["ok"] and health["backend"] == "cpu"
+
+    payload, d = _scene_payload(cfg)
+    code, resp = _call(port, "POST", "/scenes", payload)
+    assert code == 200, resp
+    sid = resp["scene_id"]
+
+    tgt = {"scene_id": sid,
+           "extrinsic": encode_array(d["poses"][0, -1]),
+           "intrinsic": encode_array(d["intr"][0, -1]),
+           "near_far": encode_array(d["near_fars"][0, -1]),
+           "out_dtype": "float32"}
+    code, resp = _call(port, "POST", "/render", tgt)
+    assert code == 200, resp
+    rgb = decode_array(resp["rgb"])
+    depth = decode_array(resp["depth"])
+    H, W = 32, 32
+    assert rgb.shape == (H, W, 3) and depth.shape == (H, W)
+    assert np.isfinite(rgb).all() and np.isfinite(depth).all()
+
+    # must match a direct Renderer call through the same service object
+    svc = httpd.service
+    out = svc.renderer.render_by_slices(
+        params,
+        {"tgt": {"extrinsics": d["poses"][None, 0, -1, :3, :],
+                 "intrinsics": d["intr"][None, 0, -1],
+                 "near_fars": d["near_fars"][None, 0, -1]},
+         "ref": svc.scenes[sid]["ref"]},
+        svc.scenes[sid]["ref_images"], svc.scenes[sid]["pair_feats"],
+        H, W, tables=svc.scenes[sid]["tables"])
+    np.testing.assert_allclose(rgb, np.asarray(out["rgb"]).reshape(H, W, 3),
+                               atol=1e-6)
+
+    # uint8 output mode quantizes the same image
+    tgt["out_dtype"] = "uint8"
+    code, resp = _call(port, "POST", "/render", tgt)
+    assert code == 200
+    rgb8 = decode_array(resp["rgb"])
+    assert rgb8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        rgb8, np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8))
+
+
+def test_serve_lru_and_errors(server):
+    httpd, cfg, _ = server
+    port = httpd.server_address[1]
+
+    sids = []
+    for seed in (1, 2, 3):                       # cap is 2 -> first evicted
+        payload, _ = _scene_payload(cfg, seed=seed)
+        code, resp = _call(port, "POST", "/scenes", payload)
+        assert code == 200
+        sids.append(resp["scene_id"])
+    assert len(httpd.service.scenes) == 2
+    assert sids[0] not in httpd.service.scenes
+
+    _, d = _scene_payload(cfg)
+    tgt = {"scene_id": sids[0],
+           "extrinsic": encode_array(d["poses"][0, -1]),
+           "intrinsic": encode_array(d["intr"][0, -1]),
+           "near_far": encode_array(d["near_fars"][0, -1])}
+    code, resp = _call(port, "POST", "/render", tgt)
+    assert code == 404 and "unknown scene" in resp["error"]
+
+    code, resp = _call(port, "POST", "/render", {"bogus": 1})
+    assert code == 400
+
+    code, resp = _call(port, "DELETE", f"/scenes/{sids[1]}")
+    assert code == 200 and resp["ok"]
+    assert sids[1] not in httpd.service.scenes
+
+    code, _ = _call(port, "GET", "/nope")
+    assert code == 404
