@@ -30,6 +30,9 @@ with explicit dtype/shape):
         {scene_id, extrinsic: arr [3,4] or [4,4] world->cam,
          intrinsic: arr [3,3], near_far: arr [2],
          out_dtype: "uint8"|"float32" (default uint8)}
+  POST /render_path        -> {frames: arr [n,H,W,3] uint8}
+        {scene_id, n_frames (default 8), mode: "interpolate",
+         intrinsic?: arr [3,3], near_far?: arr [2] (default: ref view 0)}
   DELETE /scenes/<id>      -> {ok}
 
 CLI: python -m matchnerf_tpu.serve --yaml=test --load=<ckpt> --port=8000
@@ -120,6 +123,46 @@ class RenderService:
     def drop_scene(self, sid: str) -> bool:
         return self.scenes.pop(sid, None) is not None
 
+    def render_path(self, sid: str, n_frames: int = 8,
+                    mode: str = "interpolate",
+                    intrinsic: Optional[np.ndarray] = None,
+                    near_far: Optional[np.ndarray] = None) -> np.ndarray:
+        """Render a novel camera trajectory (the video path of
+        models/matchnerf.py:42-72). 'interpolate' needs only the scene's
+        source poses; 'spiral' requires c2ws_all, which scenes don't carry —
+        rejected here. Returns uint8 frames [n,H,W,3]."""
+        sc = self.scenes.get(sid)
+        if sc is None:
+            raise KeyError(sid)
+        if mode != "interpolate":
+            raise ValueError(f"render_path supports mode='interpolate' "
+                             f"(got {mode!r}; spiral needs c2ws_all)")
+        self.scenes.move_to_end(sid)
+        H, W = sc["H"], sc["W"]
+        intr = (np.asarray(intrinsic, np.float32) if intrinsic is not None
+                else sc["ref"]["intrinsics"][0, 0])
+        nf = (np.asarray(near_far, np.float32) if near_far is not None
+              else sc["ref"]["near_fars"][0, 0])
+        poses = {"ref": sc["ref"],
+                 "tgt": {"intrinsics": intr[None], "near_fars": nf[None]}}
+        frame_poses = self.renderer.get_video_rendering_path(
+            poses, mode, int(n_frames))
+        frames = []
+        with self.device_lock:
+            for fp in frame_poses:
+                out = self.renderer.render_by_slices(
+                    self.params,
+                    {"ref": sc["ref"],
+                     "tgt": {"extrinsics": fp["extrinsics"],
+                             "intrinsics": fp["intrinsics"],
+                             "near_fars": fp["near_fars"]}},
+                    sc["ref_images"], sc["pair_feats"], H, W,
+                    tables=sc["tables"])
+                rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
+                frames.append(
+                    np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8))
+        return np.stack(frames)
+
     def render(self, sid: str, extrinsic: np.ndarray, intrinsic: np.ndarray,
                near_far: np.ndarray, out_dtype: str = "uint8") -> Dict:
         sc = self.scenes.get(sid)
@@ -201,6 +244,20 @@ def make_handler(svc: RenderService):
                     return self._json(200, {
                         "rgb": encode_array(out["rgb"]),
                         "depth": encode_array(out["depth"])})
+                if self.path == "/render_path":
+                    sid = req["scene_id"]
+                    intr = (decode_array(req["intrinsic"])
+                            if "intrinsic" in req else None)
+                    nf = (decode_array(req["near_far"])
+                          if "near_far" in req else None)
+                    try:
+                        frames = svc.render_path(
+                            sid, n_frames=int(req.get("n_frames", 8)),
+                            mode=req.get("mode", "interpolate"),
+                            intrinsic=intr, near_far=nf)
+                    except KeyError as e:
+                        return self._json(404, {"error": f"unknown scene {e}"})
+                    return self._json(200, {"frames": encode_array(frames)})
                 return self._json(404, {"error": f"no route {self.path}"})
             except Exception as e:                              # noqa: BLE001
                 log.warn(f"serve: {type(e).__name__}: {e}")

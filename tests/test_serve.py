@@ -129,3 +129,32 @@ def test_serve_lru_and_errors(server):
 
     code, _ = _call(port, "GET", "/nope")
     assert code == 404
+
+
+def test_serve_render_path(server):
+    httpd, cfg, _ = server
+    port = httpd.server_address[1]
+
+    payload, d = _scene_payload(cfg, seed=7)
+    code, resp = _call(port, "POST", "/scenes", payload)
+    assert code == 200
+    sid = resp["scene_id"]
+
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": sid, "n_frames": 3})
+    assert code == 200, resp
+    frames = decode_array(resp["frames"])
+    assert frames.shape == (3, 32, 32, 3) and frames.dtype == np.uint8
+    # interpolate path starts at the first source pose; all frames rendered
+    assert all(np.isfinite(frames[i]).all() for i in range(3))
+
+    # the middle frame differs from the endpoints (camera actually moves)
+    assert not np.array_equal(frames[0], frames[1])
+
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": sid, "mode": "spiral"})
+    assert code == 400 and "spiral" in resp["error"]
+
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": "scene-999999"})
+    assert code == 404
