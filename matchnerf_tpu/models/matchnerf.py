@@ -223,13 +223,24 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                     banded_kt: Optional[tuple] = None,
                     banded_impl: str = "xla",
                     block_ut: Optional[tuple] = None,
-                    color_ut: Optional[int] = None):
+                    color_ut: Optional[int] = None,
+                    lane_major: bool = False):
     """Build the decoder conditioning from source views (matchnerf.py:209-293).
 
     pts_3d: [B,R,S,3] world points; ref_* : [B,V,...]; ref_images [B,V,H,W,3];
     pair_feats: per-scale [B,P,2,h,w,C].
     Returns dict(feat_info [B,R,S,sum(G)], color_info [B,R,S,3V],
     mask_info [B,R,S,V]) and the view-0 NDC coords [B,R,S,3] for reuse.
+
+    lane_major=True (precision.lanemajor_cond) requests the decoder
+    megakernel's native [N,ch,S] layout straight from the block/color
+    kernels, skipping the [B,R,S,ch] round trip (two poorly-tiled
+    small-channel XLA transposes per array). Honored only when EVERY chunk
+    rides a lane-major-capable kernel (all scales on the block path, colors
+    on the supercell kernel, B==1); otherwise the standard layout is
+    returned and the caller transposes as usual. When honored, the returned
+    dict carries lane_major=True with feat_info [R,sum(G),S], color_info
+    [R,16,S] (rows 3V.. zero), mask_info [R,V,S] — bit-identical values.
     """
     B, V = ref_images.shape[:2]
     cos_n_group = cfg.encoder.cos_n_group
@@ -242,6 +253,23 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
         in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_near_far)
     grids = ndc_all[..., :2] * 2.0 - 1.0                          # [V,B,R,S,2]
 
+    # lane-major eligibility: every feat scale must take the block-kernel
+    # branch and colors the supercell kernel (see docstring)
+    lane = (bool(lane_major) and B == 1 and tables is not None
+            and hasattr(tables, "get") and not bool(fused_cosine)
+            and cfg.encoder.feature_sample_local_radius <= 0
+            and banded_impl == "block" and banded_kt is not None
+            and block_ut is not None and color_ut is not None)
+    if lane:
+        _unp = tables.get("view_feats_unpacked")
+        _scl = tables.get("view_feat_scales")
+        lane = (tables.get("colors_sc") is not None and _unp is not None
+                and _scl is not None
+                and all(_unp[s] is not None and _scl[s] is not None
+                        and banded_kt[s] is not None
+                        and block_ut[s] is not None
+                        for s in range(len(tables["view_feats"]))))
+
     # colors + masks per view (matchnerf.py:244-250); one gather per view —
     # vmapping stacks the tables into a single 3M-index gather whose source
     # exceeds the ~5MB VMEM-residency cliff (tools/bench_gather.py sweep H)
@@ -253,7 +281,9 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
             # instead of one point-gather per (sample, view)
             from ..ops.pallas_color import supercell_color_sample
             colors = supercell_color_sample(csc, grids, img_h, img_w,
-                                            ut=color_ut)           # [V,1,R,S,3]
+                                            ut=color_ut,
+                                            lane_major=lane)
+            # [V,1,R,S,3], or lane-major [R,16,S]
         else:
             colors = jnp.stack([grid_sample_2d_packed(tables["colors"][:, v],
                                                       grids[v])
@@ -265,8 +295,12 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
         colors = jax.vmap(lambda img, g: grid_sample_2d(img, g), in_axes=(1, 0))(
             ref_images, grids)                                     # [V,B,R,S,3]
     masks = in_frustum_mask(grids)                                 # [V,B,R,S]
-    color_info = jnp.moveaxis(colors, 0, -2).reshape(B, *pts_3d.shape[1:3], V * 3)
-    mask_info = jnp.moveaxis(masks, 0, -1)                         # [B,R,S,V]
+    if lane:
+        color_info = colors                                        # [R,16,S]
+        mask_info = jnp.swapaxes(masks[:, 0], 0, 1)                # [R,V,S]
+    else:
+        color_info = jnp.moveaxis(colors, 0, -2).reshape(B, *pts_3d.shape[1:3], V * 3)
+        mask_info = jnp.moveaxis(masks, 0, -1)                     # [B,R,S,V]
 
     # grouped cosine similarity per scale, averaged over pairs
     pairs = pair_index_lists(V)
@@ -321,7 +355,8 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                         block_banded_cosine_scale)
                     feat_chunks.append(block_banded_cosine_scale(
                         unpacked[scale_idx], grids, kt=kt, ut=ut, n_groups=G,
-                        pairs=pairs, dequant_scales=scales))
+                        pairs=pairs, dequant_scales=scales,
+                        lane_major=lane))
                 continue
             if kt is not None and banded_impl in ("pallas", "block"):
                 # VMEM-fused dedup-gather + interp + cosine megakernel: only
@@ -375,9 +410,11 @@ def query_cond_info(cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images,
                                              local_radius=local_r, local_dilation=local_d)
                 per_pair.append(_grouped_cosine(fa, fb, G))
             feat_chunks.append(jnp.stack(per_pair, axis=0).mean(axis=0))  # [B,R,S,G]
-    feat_info = jnp.concatenate(feat_chunks, axis=-1)
+    feat_info = jnp.concatenate(feat_chunks, axis=1 if lane else -1)
 
     cond = {"feat_info": feat_info, "color_info": color_info, "mask_info": mask_info}
+    if lane:
+        cond["lane_major"] = True
     return cond, ndc_all[0]
 
 
@@ -402,11 +439,16 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
     pts_3d = camera.get_3d_points_from_depth(center, ray, depth_samples,
                                              multi_samples=True)        # [B,R,S,3]
 
+    lm = False
+    if decoder_impl == "pallas" and cfg.nerf.view_dep:
+        _prec = effective_precision(cfg)
+        _get = _prec.get if hasattr(_prec, "get") else (lambda *_: None)
+        lm = bool(_get("lanemajor_cond", False))
     cond_info, ndc_view0 = query_cond_info(
         cfg, pts_3d, ref_w2c, ref_intr, ref_near_far, ref_images, pair_feats,
         img_h, img_w, tables=tables, fused_cosine=fused_cosine,
         banded_kt=banded_kt, banded_impl=banded_impl, block_ut=block_ut,
-        color_ut=color_ut)
+        color_ut=color_ut, lane_major=lm)
 
     if cfg.nerf.view_dep:
         ray_unit = ray / jnp.linalg.norm(ray, axis=-1, keepdims=True)

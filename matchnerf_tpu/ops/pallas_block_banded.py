@@ -375,14 +375,17 @@ def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
                               pairs: List[Tuple[int, int]],
                               dequant_scales=None, block_rays: int = 8,
                               blocks_per_step: int = 2,
-                              interpret: Optional[bool] = None):
+                              interpret: Optional[bool] = None,
+                              lane_major: bool = False):
     """Full per-scale block-banded cosine query.
 
     vfeats: [1,V,h,w,Cc] UNPACKED per-view tables (int8/bf16/f32; channel
     order = pair-chunk concat, as prepare_sampling_tables builds before 2x2
     packing); grids: [V,1,R,S,2]; kt: per-ray run bucket (banded_kt_host);
     ut: per-block dilated-union bucket (block_union_size + bucket_ut);
-    dequant_scales: [1,V,Cc] or None. Returns [1,R,S,G] f32.
+    dequant_scales: [1,V,Cc] or None. Returns [1,R,S,G] f32 — or the
+    kernel's native lane-major [R,G,S] when lane_major=True (skips the XLA
+    transpose; the decoder megakernel consumes this layout directly).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -461,4 +464,6 @@ def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
         interpret=interpret,
     )(*rows_l, *u_l, *cells_l, *w4_l, scales[:, :, None])
     out = out.reshape(NBp * block_rays, n_groups, S)[:R]
+    if lane_major:
+        return out                                                 # [R,G,S]
     return jnp.swapaxes(out, -1, -2)[None]                         # [1,R,S,G]

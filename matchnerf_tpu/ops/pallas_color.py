@@ -172,7 +172,8 @@ def _color_kernel(*refs, V: int, S: int, ut: int, block_rays: int,
 def supercell_color_sample(colors_sc, grids, img_h: int, img_w: int,
                            ut: int, block_rays: int = 8,
                            blocks_per_step: int = 2,
-                           interpret: Optional[bool] = None):
+                           interpret: Optional[bool] = None,
+                           lane_major: bool = False):
     """Sample per-view colors for every ray sample via the supercell kernel.
 
     colors_sc: [1,V,Hs,Ws,ROW_CH] uint8 (build_supercell_colors);
@@ -180,7 +181,10 @@ def supercell_color_sample(colors_sc, grids, img_h: int, img_w: int,
     table rounds up to SC multiples; the clamp/weight math must not);
     ut: per-block union bucket (color_union_size + bucket_color_ut).
     Returns [V,1,R,S,3] f32 in [0,255] (callers apply the /255 dequant,
-    mirroring the packed path)."""
+    mirroring the packed path) — or the kernel's native lane-major
+    [R,16,S] (channel 3v+c = view v color c, rows 3V.. zero) when
+    lane_major=True, skipping the two XLA transposes; the decoder
+    megakernel slices the first 3V sublanes in VMEM."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     _, V, Hs, Ws, _ = colors_sc.shape
@@ -250,6 +254,8 @@ def supercell_color_sample(colors_sc, grids, img_h: int, img_w: int,
         interpret=interpret,
     )(*rows_l, *u_l, *ints_l, *flts_l)
     out = out.reshape(NBp * block_rays, 16, S)[:R]                 # [R,16,S]
+    if lane_major:
+        return out
     out = jnp.swapaxes(out, -1, -2)                                # [R,S,16]
     return jnp.moveaxis(
         out[..., :3 * V].reshape(R, S, V, 3), 2, 0)[:, None]       # [V,1,R,S,3]

@@ -92,7 +92,9 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     raytrans_posenc = bool(cfg.decoder.raytrans_posenc)
     legacy = bool(cfg.nerf.legacy_coord)
     n_views = int(cfg.n_src_views)
-    Gf = cond_info["feat_info"].shape[-1]
+    lane = bool(cond_info.get("lane_major", False)) \
+        if hasattr(cond_info, "get") else False
+    Gf = cond_info["feat_info"].shape[1 if lane else -1]
 
     p = params
     enc_dim = 3 + 6 * L3d if use_posenc else 3
@@ -104,9 +106,20 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         return jnp.swapaxes(x.reshape(N, S, -1), -1, -2)
     ndcT = T(points_3d)
     rayT = T(ray_unit)
-    featT = T(cond_info["feat_info"])
-    colT = T(cond_info["color_info"])
-    maskT = T(cond_info["mask_info"])
+    if lane:
+        # already lane-major from the block/color kernels (no XLA transpose;
+        # precision.lanemajor_cond). colT may carry 16 padded channels —
+        # the kernel slices the first 3V sublanes in VMEM.
+        featT = cond_info["feat_info"]                              # [N,Gf,S]
+        colT = cond_info["color_info"]                              # [N,>=3V,S]
+        maskT = cond_info["mask_info"]                              # [N,V,S]
+        assert featT.shape == (N, Gf, S) and maskT.shape == (N, n_views, S) \
+            and colT.shape[0] == N and colT.shape[2] == S, \
+            (featT.shape, colT.shape, maskT.shape, N, S)
+    else:
+        featT = T(cond_info["feat_info"])
+        colT = T(cond_info["color_info"])
+        maskT = T(cond_info["mask_info"])
 
     wo_render_interval = bool(cfg.nerf.wo_render_interval)
     if fold_composite:
@@ -237,7 +250,9 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             mask = jnp.concatenate([mask_ref[b] for b in bs], axis=1)
             in_feats = jnp.concatenate(
                 [jnp.concatenate([feat_ref[b] for b in bs], axis=1),
-                 jnp.concatenate([col_ref[b] for b in bs], axis=1),
+                 # [:3V] drops the lane-major color pad rows (no-op at 3V ch)
+                 jnp.concatenate([col_ref[b][0:3 * n_views] for b in bs],
+                                 axis=1),
                  mask], axis=0)                                      # (22,GS)
             bias = mm(pts_bias_w, in_feats, pts_bias_b, wide=True)   # (W,GS)
 

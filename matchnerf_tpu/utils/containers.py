@@ -66,6 +66,7 @@ _STRICT_PRECISION = {
     "banded_gather": False,
     "decoder_kernel": False,
     "fused_cosine": False,
+    "lanemajor_cond": False,
 }
 
 

@@ -109,3 +109,59 @@ def test_decoder_kernel_folded_composite_variants():
     cfg.decoder = DotDict(dict(cfg.decoder))
     cfg.decoder.density_maskfill = True
     _compare_folded(cfg, setbg=True, seed=4, B=2, R=7)
+
+
+def test_lane_major_cond_bit_exact():
+    """precision.lanemajor_cond feeds the decoder megakernel the block/color
+    kernels' native [N,ch,S] layout (skipping the [B,R,S,ch] transpose round
+    trip). Pure layout change -> the rendered image must be BIT-identical
+    to the default path on the production int8/uint8 kernel stack."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    def run(lanemajor):
+        c = DotDict(dict(cfg))
+        c.precision = DotDict({"cond_sample_dtype": "int8",
+                               "color_sample_dtype": "uint8",
+                               "banded_kernel": True, "block_kernel": True,
+                               "decoder_kernel": True,
+                               "color_block_kernel": True,
+                               "lanemajor_cond": lanemajor})
+        r = Renderer(c)
+        feats = r.encode(params, ref_images)
+        tables = r.build_tables(ref_images, feats)
+        assert tables.get("colors_sc") is not None
+        return r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                  tables=tables)
+
+    out_std = run(False)
+
+    # spy: the lane path must actually engage (eligibility silently failing
+    # would make this test vacuous)
+    from matchnerf_tpu.ops import pallas_color as pc
+    calls = []
+    orig = pc.supercell_color_sample
+    def spy(*a, **kw):
+        calls.append(bool(kw.get("lane_major", False)))
+        return orig(*a, **kw)
+    pc.supercell_color_sample = spy
+    try:
+        out_lane = run(True)
+    finally:
+        pc.supercell_color_sample = orig
+    assert any(calls), "lane-major path never engaged"
+
+    for k in ("rgb", "depth", "opacity"):
+        np.testing.assert_array_equal(
+            np.asarray(out_lane[k]), np.asarray(out_std[k]),
+            err_msg=f"lane-major path changed {k} (must be layout-only)")

@@ -83,6 +83,10 @@ def main():
                         help="packed color gather even when the supercell "
                              "table is available (A/B the color kernel)")
     parser.add_argument("--decoder_matmul_dtype", type=str, default="float32")
+    parser.add_argument("--lanemajor", action="store_true",
+                        help="precision.lanemajor_cond: feed the decoder "
+                             "kernel lane-major cond straight from the "
+                             "block/color kernels")
     parser.add_argument("--decoder_group_rays", type=int, default=4)
     parser.add_argument("--decoder_block_rays", type=int, default=8)
     parser.add_argument("--top", type=int, default=40)
@@ -111,6 +115,7 @@ def main():
         "decoder_matmul_dtype": args.decoder_matmul_dtype,
         "decoder_group_rays": args.decoder_group_rays,
         "decoder_block_rays": args.decoder_block_rays,
+        "lanemajor_cond": bool(args.lanemajor),
     })
     B, H, W, R = 1, 512, 640, args.rays
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
