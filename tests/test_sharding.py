@@ -138,3 +138,48 @@ def test_sharded_renderer_matches_single_device():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out_mesh["depth"], out_single["depth"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_renderer_lane_major_kernel_stack():
+    """The full production kernel stack (int8/uint8 tables, block + color +
+    decoder kernels) with precision.lanemajor_cond must render identically
+    under an 8-device ray-sharding mesh (per-shard kernels, interpret mode)
+    and on a single device — safety gate before flipping the default."""
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.parallel import make_mesh, replicate
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=8)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"cond_sample_dtype": "int8",
+                             "color_sample_dtype": "uint8",
+                             "banded_kernel": True, "block_kernel": True,
+                             "decoder_kernel": True,
+                             "color_block_kernel": True,
+                             "lanemajor_cond": True})
+    H, W = 16, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jax.numpy.asarray(d["images"][:, : cfg.n_src_views])
+
+    def run(mesh):
+        r = Renderer(cfg, mesh=mesh)
+        p = params if mesh is None else jax.device_put(params, replicate(mesh))
+        imgs = ref_images if mesh is None else jax.device_put(ref_images,
+                                                              replicate(mesh))
+        feats = r.encode(p, imgs)
+        tables = r.build_tables(imgs, feats)
+        assert tables.get("colors_sc") is not None
+        return r.render_by_slices(p, poses, imgs, feats, H, W, tables=tables)
+
+    out_single = run(None)
+    out_mesh = run(make_mesh(n_devices=8))
+    np.testing.assert_allclose(out_mesh["rgb"], out_single["rgb"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out_mesh["opacity"], out_single["opacity"],
+                               rtol=1e-5, atol=1e-5)
