@@ -16,6 +16,7 @@ these shapes). The north-star is >=10x (BASELINE.json).
 """
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -24,6 +25,26 @@ A100_REFERENCE_RAYS_PER_SEC = 15_000.0
 
 
 def main():
+    # The axon relay can be down for hours; device enumeration then blocks
+    # forever and the driver's bench run would hang. Bound ONLY the
+    # device-acquisition phase (compiles afterwards may legitimately take
+    # longer than this) and emit an explicit error line instead.
+    device_ready = threading.Event()
+    import os
+    timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+
+    def _watchdog():
+        if not device_ready.wait(timeout_s):
+            print(json.dumps({
+                "metric": "rays_per_sec_per_chip_dtu_eval", "value": 0.0,
+                "unit": "rays/s", "vs_baseline": 0.0,
+                "error": f"TPU unreachable within {timeout_s:.0f}s "
+                         "(relay down?)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     # persistent compile cache: repeat runs (e.g. the driver's) skip the
@@ -39,6 +60,9 @@ def main():
     import __graft_entry__ as ge
     from matchnerf_tpu.models.matchnerf import (encode, init_matchnerf,
                                                 prepare_sampling_tables, render_rays)
+
+    jax.devices()                              # blocks while the relay is down
+    device_ready.set()
 
     cfg = ge._tiny_cfg(n_layers=6, sample_intvs=128)
     B, H, W = 1, 512, 640                      # DTU eval size (test.yaml:14)
