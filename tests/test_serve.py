@@ -158,3 +158,38 @@ def test_serve_render_path(server):
     code, resp = _call(port, "POST", "/render_path",
                        {"scene_id": "scene-999999"})
     assert code == 404
+
+
+def test_serve_concurrent_requests(server):
+    """Concurrent renders of different scenes must all succeed and match
+    their serial results (device dispatch is lock-serialized; HTTP handling
+    is threaded)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    httpd, cfg, _ = server
+    port = httpd.server_address[1]
+
+    scenes = []
+    for seed in (11, 12):
+        payload, d = _scene_payload(cfg, seed=seed)
+        code, resp = _call(port, "POST", "/scenes", payload)
+        assert code == 200
+        scenes.append((resp["scene_id"], d))
+
+    def req(args):
+        sid, d = args
+        return _call(port, "POST", "/render",
+                     {"scene_id": sid,
+                      "extrinsic": encode_array(d["poses"][0, -1]),
+                      "intrinsic": encode_array(d["intr"][0, -1]),
+                      "near_far": encode_array(d["near_fars"][0, -1]),
+                      "out_dtype": "float32"})
+
+    serial = [req(s)[1] for s in scenes]
+    jobs = [scenes[i % 2] for i in range(6)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(req, jobs))
+    for i, (code, resp) in enumerate(results):
+        assert code == 200
+        np.testing.assert_array_equal(decode_array(resp["rgb"]),
+                                      decode_array(serial[i % 2]["rgb"]))
