@@ -138,7 +138,9 @@ def _color_kernel(*refs, V: int, S: int, ut: int, block_rays: int,
     sel3 = ((sel_q % 3 == sel_c) & (sel_q < 3 * WIN)).astype(jnp.float32)
 
     for nb in range(blocks_per_step):
-        rows = [rows_refs[v][nb].astype(jnp.bfloat16) for v in range(V)]
+        # Mosaic has no unsigned->float cast; hop uint8 -> int32 -> bf16
+        rows = [rows_refs[v][nb].astype(jnp.int32).astype(jnp.bfloat16)
+                for v in range(V)]
         unions = [u_refs[v][nb] for v in range(V)]                 # (ut,1)
         for b in range(block_rays):
             per_view = []
