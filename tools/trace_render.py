@@ -73,7 +73,11 @@ def report(totals, top, hlo_path=""):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--feat_dtype", type=str, default="bfloat16")
-    parser.add_argument("--banded_kt", type=int, default=0)
+    parser.add_argument("--banded_kt", type=str, default="0",
+                        help="band width; a single int applies to every "
+                             "scale, 'a,b' sets per-scale widths (match "
+                             "bench.py's '# banded_kt=' line for production "
+                             "banding)")
     parser.add_argument("--banded_impl", type=str, default="xla",
                         choices=["xla", "pallas", "block"])
     parser.add_argument("--decoder_impl", type=str, default="xla",
@@ -142,7 +146,12 @@ def main():
     tables = jax.jit(lambda fs, im: prepare_sampling_tables(
         cfg, fs, im, feat_dtype=feat_dtype, color_dtype=color_dtype,
         keep_unpacked=keep_unpacked))(feats, ref)
-    banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+    kt_list = [int(v) for v in args.banded_kt.split(",")]
+    if any(kt_list):
+        banded_kt = tuple(kt_list) if len(kt_list) > 1 \
+            else (kt_list[0], kt_list[0])
+    else:
+        banded_kt = None
 
     block_ut = None
     if keep_unpacked and banded_kt:
@@ -163,7 +172,9 @@ def main():
         uts = []
         for si, vf in enumerate(tables["view_feats_unpacked"]):
             h, w = vf.shape[2], vf.shape[3]
-            n = max(int(block_union_size(grids[v, 0], h, w, kt=args.banded_kt))
+            n = max(int(block_union_size(grids[v, 0], h, w,
+                                         kt=banded_kt[min(si,
+                                                          len(banded_kt) - 1)]))
                     for v in range(grids.shape[0]))
             uts.append(bucket_ut(n))
         block_ut = tuple(uts)
