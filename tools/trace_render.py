@@ -87,10 +87,14 @@ def main():
                         help="packed color gather even when the supercell "
                              "table is available (A/B the color kernel)")
     parser.add_argument("--decoder_matmul_dtype", type=str, default="float32")
-    parser.add_argument("--lanemajor", action="store_true",
+    parser.add_argument("--lanemajor", dest="lanemajor", action="store_true",
+                        default=True,
                         help="precision.lanemajor_cond: feed the decoder "
                              "kernel lane-major cond straight from the "
-                             "block/color kernels")
+                             "block/color kernels (production default: ON)")
+    parser.add_argument("--no_lanemajor", dest="lanemajor",
+                        action="store_false",
+                        help="A/B: disable the lane-major cond layout")
     parser.add_argument("--decoder_group_rays", type=int, default=4)
     parser.add_argument("--decoder_block_rays", type=int, default=8)
     parser.add_argument("--top", type=int, default=40)
