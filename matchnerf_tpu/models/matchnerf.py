@@ -475,6 +475,7 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
         br = int(get("decoder_block_rays", 16) or 16)
         fold = get("decoder_fold_composite", True)
         fold = True if fold is None else bool(fold)
+        eb = bool(get("decoder_extract_batched", False))
         if fold:
             # composite folded into the kernel: the [R,S,4] activation never
             # leaves VMEM; the kernel emits rgb/depth/opacity directly
@@ -482,11 +483,11 @@ def render_rays(params, cfg, pix_xy, tgt_intr, tgt_c2w, tgt_near_far,
                 params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
                 block_rays=br, group_rays=gr, matmul_dtype=md,
                 fold_composite=True, depth_samples=depth_samples, ray=ray,
-                setbg_opaque=setbg_opaque)
+                setbg_opaque=setbg_opaque, extract_batched=eb)
             return {"rgb": rgb, "depth": depth, "opacity": opacity}
         rgb_samples, density_samples = cond_nerf_decode(
             params["nerf_dec"], cfg, ndc_view0, ray_unit_ref, cond_info,
-            block_rays=br, group_rays=gr, matmul_dtype=md)
+            block_rays=br, group_rays=gr, matmul_dtype=md, extract_batched=eb)
     else:
         rgb_samples, density_samples = apply_cond_nerf(
             params["nerf_dec"], cfg, ndc_view0, ray_unit=ray_unit_ref,

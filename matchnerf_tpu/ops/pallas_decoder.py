@@ -54,7 +54,8 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                      interpret: Optional[bool] = None,
                      fold_composite: bool = False,
                      depth_samples=None, ray=None,
-                     setbg_opaque: bool = False):
+                     setbg_opaque: bool = False,
+                     extract_batched: bool = False):
     """Pallas counterpart of apply_cond_nerf for the view_dep CondNeRF.
 
     points_3d: [B,R,S,3]; ray_unit: [B,R,S,3]; cond_info dict with feat_info
@@ -75,6 +76,15 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
     ray and returns (rgb [B,R,3], depth [B,R,1], opacity [B,R,1]).
     Requires depth_samples [B,R,S,1]; `ray` [B,R,3] (unnormalized) is only
     read when nerf.wo_render_interval is false.
+
+    extract_batched=True replaces the per-ray attention-output extraction
+    loop (GR iterations of (16,4S) slices + head-fold sums + vmean/where)
+    with three fat constant matmuls over the whole group — a row-fold
+    F^T (out ⊙ M), a per-head lane-segment sum, and a segment-mean matmul
+    for the masked-query fallback — plus ONE (16,GS) where. Query columns
+    switch to head-major order so the head fold is 4 static lane slices.
+    Numerically equivalent up to f32 summation order (the vmean reduction
+    becomes a matmul).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -208,14 +218,30 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
         # is pure VPU waste if Mosaic doesn't CSE the unrolled copies.
         GR = group_rays
         Mw = GR * n_head * S
+        GSg = GR * S
         inv = 1.0 / jnp.sqrt(jnp.float32(d_k))
         cb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 0)
         mb = jax.lax.broadcasted_iota(jnp.int32, (16 * GR, Mw), 1)
-        sel = ((cb // 16 == mb // (n_head * S))
-               & ((cb % 16) // d_k == (mb % (n_head * S)) // S))
-        c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
-        hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
-        headmask = (c16 // d_k == hS).astype(jnp.float32)            # (16,4S)
+        if extract_batched:
+            # head-major query columns: m = hh*GR*S + j*S + s. The block-
+            # diagonal ray select M2 and the head-row select factor apart;
+            # Fw folds the 16GR attention-output rows back to 16.
+            sel = ((cb // 16 == (mb % GSg) // S)
+                   & ((cb % 16) // d_k == mb // GSg))
+            m2 = (cb // 16 == (mb % GSg) // S).astype(jnp.float32)
+            fw = (jax.lax.broadcasted_iota(jnp.int32, (16 * GR, 16), 0) % 16
+                  == jax.lax.broadcasted_iota(jnp.int32, (16 * GR, 16), 1)
+                  ).astype(jnp.float32)                              # (16GR,16)
+            vr1 = jax.lax.broadcasted_iota(jnp.int32, (GSg, GSg), 0)
+            vr2 = jax.lax.broadcasted_iota(jnp.int32, (GSg, GSg), 1)
+            vseg = (vr1 // S == vr2 // S).astype(jnp.float32) / S    # (GS,GS)
+            hrow = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0) // d_k
+        else:
+            sel = ((cb // 16 == mb // (n_head * S))
+                   & ((cb % 16) // d_k == (mb % (n_head * S)) // S))
+            c16 = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 0)
+            hS = jax.lax.broadcasted_iota(jnp.int32, (16, n_head * S), 1) // S
+            headmask = (c16 // d_k == hS).astype(jnp.float32)        # (16,4S)
         if fold_composite:
             GS = GR * S
             r1 = jax.lax.broadcasted_iota(jnp.int32, (GS, GS), 0)
@@ -287,9 +313,14 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
                 [k_all[:, j * S:(j + 1) * S] for j in range(GR)], axis=0)
             v_big = jnp.concatenate(
                 [v_all[:, j * S:(j + 1) * S] for j in range(GR)], axis=0)
-            q_tiled = jnp.concatenate(
-                [q_all[:, j * S:(j + 1) * S]
-                 for j in range(GR) for _ in range(n_head)], axis=1)  # (16,Mw)
+            if extract_batched:
+                # head-major columns: per-ray slices concatenated over j for
+                # fixed head == q_all itself, repeated per head
+                q_tiled = jnp.concatenate([q_all] * n_head, axis=1)  # (16,Mw)
+            else:
+                q_tiled = jnp.concatenate(
+                    [q_all[:, j * S:(j + 1) * S]
+                     for j in range(GR) for _ in range(n_head)], axis=1)
             q_big = jnp.where(sel, jnp.concatenate([q_tiled] * GR, axis=0),
                               0.0)                                   # (16GR,Mw)
             scoresT = jax.lax.dot_general(
@@ -299,19 +330,36 @@ def cond_nerf_decode(params, cfg, points_3d, ray_unit, cond_info,
             out_all = jax.lax.dot_general(
                 v_big, attnT, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)                  # (16GR,Mw)
-            # static head-fold mask (hoisted above), per 16-row ray block
-            outs_j = []
-            for j in range(GR):
-                blk = out_all[16 * j:16 * (j + 1),
-                              j * n_head * S:(j + 1) * n_head * S]   # (16,4S)
-                cat = sum(blk[:, hh * S:(hh + 1) * S]
-                          * headmask[:, hh * S:hh * S + 1]
-                          for hh in range(n_head))                   # (16,S)
-                vmean = jnp.mean(v_all[:, j * S:(j + 1) * S], axis=1,
-                                 keepdims=True)                      # (16,1)
-                maskq = nvg[:, j * S:(j + 1) * S] > 1.0              # (1,S)
-                outs_j.append(jnp.where(maskq, cat, vmean))
-            o = mm(fc, jnp.concatenate(outs_j, axis=1)) + tokg       # (16,GS)
+            if extract_batched:
+                # fold the 16GR rows to 16 (block-diagonal select + row sum
+                # as one matmul), then the 4 heads as static lane slices
+                folded = jax.lax.dot_general(
+                    fw, out_all * m2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (16,Mw)
+                cat_all = sum(
+                    folded[:, hh * GSg:(hh + 1) * GSg]
+                    * (hrow == hh).astype(jnp.float32)
+                    for hh in range(n_head))                         # (16,GS)
+                vmean_big = jax.lax.dot_general(
+                    v_all, vseg, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)              # (16,GS)
+                o_in = jnp.where(nvg > 1.0, cat_all, vmean_big)
+            else:
+                # per-ray extraction: GR iterations of (16,4S) slices with
+                # the static head-fold mask (hoisted above)
+                outs_j = []
+                for j in range(GR):
+                    blk = out_all[16 * j:16 * (j + 1),
+                                  j * n_head * S:(j + 1) * n_head * S]
+                    cat = sum(blk[:, hh * S:(hh + 1) * S]
+                              * headmask[:, hh * S:hh * S + 1]
+                              for hh in range(n_head))               # (16,S)
+                    vmean = jnp.mean(v_all[:, j * S:(j + 1) * S], axis=1,
+                                     keepdims=True)                  # (16,1)
+                    maskq = nvg[:, j * S:(j + 1) * S] > 1.0          # (1,S)
+                    outs_j.append(jnp.where(maskq, cat, vmean))
+                o_in = jnp.concatenate(outs_j, axis=1)
+            o = mm(fc, o_in) + tokg                                  # (16,GS)
             mu = jnp.mean(o, axis=0, keepdims=True)
             var = jnp.mean((o - mu) * (o - mu), axis=0, keepdims=True)
             o = (o - mu) / jnp.sqrt(var + 1e-6) * ln_s[:] + ln_b[:]

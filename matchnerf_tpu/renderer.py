@@ -147,6 +147,20 @@ def banded_kt_host(cfg, tgt_c2w, tgt_intr, tgt_nf, ref_w2c, ref_intr,
     return tuple(kts)
 
 
+def _index_batch(tree, b: int):
+    """Slice every array leaf of a poses/tables/feats pytree to batch element
+    [b:b+1]; scalars/None (e.g. color_scale) pass through."""
+    if tree is None:
+        return None
+    if isinstance(tree, dict):
+        return type(tree)({k: _index_batch(v, b) for k, v in tree.items()})
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_index_batch(v, b) for v in tree)
+    if hasattr(tree, "ndim") and tree.ndim >= 1:
+        return tree[b:b + 1]
+    return tree
+
+
 def extract_poses(batch: Dict) -> Dict:
     """Split the (V+1)-view batch into target (last) and reference poses
     (models/matchnerf.py:75-86). Host-side numpy."""
@@ -566,6 +580,21 @@ class Renderer:
         processed `nerf.slices_per_dispatch` at a time inside one compiled
         scan."""
         B = ref_images.shape[0]
+        if (B > 1 and banded_impl(self.cfg) == "block" and tables is not None
+                and hasattr(tables, "get")
+                and tables.get("view_feats_unpacked") is not None):
+            # batched eval rides the block kernel by splitting into per-pose
+            # sub-renders (the block path needs single-pose union buckets);
+            # each element renders bit-identically to a B=1 call, at the full
+            # per-slice ray budget instead of R//B
+            per = [self.render_by_slices(
+                       params, _index_batch(poses, b), ref_images[b:b + 1],
+                       _index_batch(pair_feats, b), img_h, img_w,
+                       tgt_override=_index_batch(tgt_override, b),
+                       tables=_index_batch(tables, b))
+                   for b in range(B)]
+            return {k: np.concatenate([o[k] for o in per], axis=0)
+                    for k in per[0]}
         R = int(self.cfg.nerf.rand_rays_test) // max(B, 1)
         # packed-gather intermediates OOM HBM beyond ~8k rays/slice on a
         # 16GB chip; cap unless the user overrides (nerf.max_rays_per_slice)

@@ -7,7 +7,8 @@ import sys
 
 import pytest
 
-DEMO_ROOT = "/root/reference/docs/demo_data"
+DEMO_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "demo_data")
 REPO = "/root/repo"
 
 

@@ -12,7 +12,8 @@ from torch_oracle import install_reference
 
 install_reference()
 
-DEMO_ROOT = "/root/reference/docs/demo_data"
+DEMO_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "demo_data")
 
 
 @pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="demo data missing")

@@ -12,7 +12,8 @@ from test_engine import tiny_cfg
 
 from matchnerf_tpu.utils import DotDict
 
-DEMO_ROOT = "/root/reference/docs/demo_data"
+DEMO_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "docs", "demo_data")
 
 
 @pytest.mark.skipif(not os.path.isdir(DEMO_ROOT), reason="demo data missing")

@@ -111,7 +111,9 @@ def test_render_by_slices_block_kernel_matches_direct():
 
 
 def test_sharded_eval_block_kernel_matches_single_device():
-    """render_by_slices under an 8-device CPU mesh with the block kernel."""
+    """render_by_slices under an 8-device CPU mesh with the block kernel.
+    B=2 so the batched-eval per-pose split composes with ray sharding (each
+    sub-render is a B=1 shard_map over the mesh)."""
     import __graft_entry__ as ge
     from jax.sharding import Mesh
     from matchnerf_tpu.models.matchnerf import init_matchnerf
@@ -125,7 +127,7 @@ def test_sharded_eval_block_kernel_matches_single_device():
                              "decoder_kernel": True})
     H, W = 32, 32
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
-    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    d = ge._synthetic_inputs(cfg, 2, H, W, R=16)
     poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
                            "near_fars": d["near_fars"]})
     ref_images = jnp.asarray(d["images"][:, :3])
@@ -422,3 +424,44 @@ def test_block_banded_ragged_and_border():
     assert out.shape == (1, R, S, G)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_batched_eval_rides_block_kernel():
+    """B=2 eval splits into per-pose block-kernel sub-renders (renderer.py
+    `_index_batch` split): each element matches an independent B=1 pipeline
+    bit-for-bit, and the block path actually engages (VERDICT r3 item 5;
+    reference batched eval: models/matchnerf.py:145-161)."""
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, _index_batch, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=48)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"cond_sample_dtype": "float32",
+                             "banded_kernel": True, "block_kernel": True})
+    H, W = 32, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 2, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jnp.asarray(d["images"][:, :3])
+
+    r = Renderer(cfg)
+    feats = r.encode(params, ref_images)
+    tables = r.build_tables(ref_images, feats)
+    out_b2 = r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                tables=tables)
+    assert out_b2["rgb"].shape[0] == 2
+    engaged = [k for k in r._render_jit
+               if k[0] == "multi" and k[6] is not None]
+    assert engaged, "batched eval did not engage the block kernel"
+
+    for b in range(2):
+        r1 = Renderer(cfg)
+        f1 = r1.encode(params, ref_images[b:b + 1])
+        t1 = r1.build_tables(ref_images[b:b + 1], f1)
+        out1 = r1.render_by_slices(params, _index_batch(poses, b),
+                                   ref_images[b:b + 1], f1, H, W, tables=t1)
+        np.testing.assert_allclose(out_b2["rgb"][b], out1["rgb"][0],
+                                   atol=1e-6, rtol=1e-6)

@@ -165,3 +165,51 @@ def test_lane_major_cond_bit_exact():
         np.testing.assert_array_equal(
             np.asarray(out_lane[k]), np.asarray(out_std[k]),
             err_msg=f"lane-major path changed {k} (must be layout-only)")
+
+
+def test_decoder_kernel_extract_batched_parity():
+    """extract_batched=True (attention-output extraction as 3 fat constant
+    matmuls, head-major query columns) matches both the XLA decoder and the
+    slice-loop kernel path, incl. the masked-query vmean fallback."""
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=16)
+    params, pts, ray, cond = _setup(cfg, B=1, R=11, S=16, seed=4)
+    # force some rays to have <=1 valid view so the vmean/where path engages
+    m = np.array(cond["mask_info"])
+    m[:, :3] = 0.0
+    m[:, 3:5] = np.eye(3, dtype=np.float32)[0]
+    cond["mask_info"] = jnp.asarray(m)
+    rgb_ref, den_ref = apply_cond_nerf(params, cfg, pts, ray_unit=ray,
+                                       cond_info=cond)
+    for gr in (2, 4):
+        rgb, den = cond_nerf_decode(params, cfg, pts, ray, cond,
+                                    block_rays=4, group_rays=gr,
+                                    extract_batched=True)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(den), np.asarray(den_ref),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_decoder_kernel_extract_batched_folded():
+    """extract_batched composes with fold_composite (the production eval
+    configuration under A/B)."""
+    from matchnerf_tpu.models.decoder.cond_nerf import composite
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=16)
+    params, pts, ray_unit, cond = _setup(cfg, B=1, R=11, S=16, seed=5)
+    rng = np.random.default_rng(105)
+    base = np.sort(rng.uniform(2.0, 4.5, (1, 11, 16)), axis=-1).astype(np.float32)
+    depth_samples = jnp.asarray(base[..., None])
+    ray_raw = jnp.asarray(rng.normal(0, 1, (1, 11, 3)).astype(np.float32))
+    rgb_s, den_s = apply_cond_nerf(params, cfg, pts, ray_unit=ray_unit,
+                                   cond_info=cond)
+    rgb_ref, dep_ref, op_ref, _ = composite(cfg, ray_raw, rgb_s, den_s,
+                                            depth_samples)
+    rgb, dep, op = cond_nerf_decode(
+        params, cfg, pts, ray_unit, cond, block_rays=4, fold_composite=True,
+        depth_samples=depth_samples, ray=ray_raw, extract_batched=True)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dep), np.asarray(dep_ref),
+                               atol=3e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(op), np.asarray(op_ref),
+                               atol=3e-5, rtol=1e-4)

@@ -96,7 +96,12 @@ def main():
                         action="store_false",
                         help="A/B: disable the lane-major cond layout")
     parser.add_argument("--decoder_group_rays", type=int, default=4)
-    parser.add_argument("--decoder_block_rays", type=int, default=8)
+    parser.add_argument("--decoder_block_rays", type=int, default=16,
+                        help="production default 16 (models/matchnerf.py)")
+    parser.add_argument("--extract_batched", action="store_true",
+                        help="A/B: decoder kernel's batched attention-output "
+                             "extraction (3 fat matmuls instead of the "
+                             "per-ray slice loop)")
     parser.add_argument("--top", type=int, default=40)
     parser.add_argument("--rays", type=int, default=8192)
     parser.add_argument("--pix", type=str, default="random",
@@ -124,6 +129,7 @@ def main():
         "decoder_group_rays": args.decoder_group_rays,
         "decoder_block_rays": args.decoder_block_rays,
         "lanemajor_cond": bool(args.lanemajor),
+        "decoder_extract_batched": bool(args.extract_batched),
     })
     B, H, W, R = 1, 512, 640, args.rays
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)

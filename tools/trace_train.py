@@ -18,9 +18,12 @@ def main():
     parser.add_argument("--decoder_dtype", type=str, default="float32",
                         help="decoder_compute_dtype (bfloat16 = opt-in "
                              "mixed-precision width-W MLP)")
-    parser.add_argument("--banded_kt", type=int, default=0,
+    parser.add_argument("--banded_kt", type=str, default="0",
                         help="route the cond query through the custom-VJP "
-                             "banded kernel with this bucket per scale")
+                             "banded kernel; a single int applies to every "
+                             "scale, 'a,b' sets per-scale buckets (production "
+                             "DTU banding is '32,48' — match bench.py's "
+                             "'# banded_kt=' line)")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--attention_backend", type=str, default="auto")
     parser.add_argument("--block_ut", type=int, default=0,
@@ -65,7 +68,12 @@ def main():
     }
     tx, _ = build_optimizer(cfg, total_steps=1000)
     opt_state = tx.init(params)
-    banded_kt = (args.banded_kt, args.banded_kt) if args.banded_kt else None
+    kt_list = [int(v) for v in args.banded_kt.split(",")]
+    if any(kt_list):
+        banded_kt = tuple(kt_list) if len(kt_list) > 1 \
+            else (kt_list[0], kt_list[0])
+    else:
+        banded_kt = None
     block_ut = (args.block_ut, args.block_ut) if args.block_ut else None
     if block_ut:
         cfg.nerf = DotDict(dict(cfg.nerf))
