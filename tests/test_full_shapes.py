@@ -8,11 +8,15 @@ so this file re-proves the production eval stack (int8 feature tables + u8
 color tables + block-banded megakernel + decoder megakernel with folded
 composite) against the strict-f32 path at the other shapes.
 
-JAX-only (no torch import): runs in the fast `-m "not parity"` loop. The
-oracle-parity counterpart at these shapes is test_full_shapes_oracle.py.
+JAX-only (no torch import), but multi-minute at these shapes on the 1-CPU
+host — marked `slow` so the CI-style fast loop (`-m "not parity and not
+slow"`) skips it. The oracle-parity counterpart at these shapes is
+test_full_shapes_oracle.py.
 """
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp
