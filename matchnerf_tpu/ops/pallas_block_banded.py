@@ -109,9 +109,11 @@ def _unique_compact(sorted_vals, cap: int, sentinel: int):
 
 
 def block_union_cells(taps_runs, block_rays: int, ut: int, H: int, W: int):
-    """taps_runs: [R, kt] per-ray run cells -> [NB, ut] sorted-unique dilated
-    block union (-1 padded), NB = R/block_rays. The dilation {c, c+1, c+w,
-    c+w+1} guarantees every bilinear tap of every sample is in the union."""
+    """taps_runs: [R, L] per-ray cells (raw per-sample cells [R,S] or
+    run-compressed taps [R,kt] — same unique set) -> [NB, ut] sorted-unique
+    dilated block union (-1 padded), NB = R/block_rays. The dilation {c, c+1,
+    c+w, c+w+1} guarantees every bilinear tap of every sample is in the
+    union."""
     R, kt = taps_runs.shape
     NB = R // block_rays
     sentinel = H * W
@@ -313,8 +315,8 @@ def _block_trainable_bwd(kt, ut, n_groups, pairs, block_rays, res, g):
     flat = vfeats[0].reshape(V, H * W, Cc).astype(jnp.float32)
     for v in range(V):
         cell, c10, w4 = _cells_weights4(grids[v, 0], H, W)
-        taps = _runs_from_cells(cell, kt)
-        u = block_union_cells(taps, block_rays, ut, H, W)          # [NB,ut]
+        # raw-cell union (same set as run-compressed taps; see fwd path)
+        u = block_union_cells(cell, block_rays, ut, H, W)          # [NB,ut]
         rows = jnp.take_along_axis(
             flat[v], jnp.clip(u, 0, H * W - 1).reshape(NB * ut)[:, None],
             axis=0, mode="promise_in_bounds").reshape(NB, ut, Cc)
@@ -406,8 +408,12 @@ def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
     flat = vfeats[0].reshape(V, H * W, Cc)
     for v in range(V):
         cell, c10, w4 = _cells_weights4(grids[v, 0], H, W)
-        taps = _runs_from_cells(cell, kt)
-        u = block_union_cells(taps, block_rays, ut, H, W)          # [NB,ut]
+        # Union straight from the raw per-sample cells: identical set to the
+        # run-compressed taps (run dedup only removes consecutive repeats)
+        # but skips the [R,S,kt] one-hot max (~2.6ms/slice on device); the
+        # wider first sort ([NB,8S] vs [NB,8kt]) is cheap — same trick as
+        # ops/pallas_color.py's supercell union.
+        u = block_union_cells(cell, block_rays, ut, H, W)          # [NB,ut]
         rows = jnp.take_along_axis(
             flat[v], jnp.clip(u, 0, H * W - 1).reshape(NB * ut)[:, None],
             axis=0, mode="promise_in_bounds").reshape(NB, ut, Cc)
