@@ -62,7 +62,9 @@ def bucket_ut(n: int) -> Optional[int]:
 
 def _cells_weights4(grid, H: int, W: int, align_corners: bool = True):
     """grid: [R,S,2] -> (cell [R,S] i32 of the (y0,x0) tap, c10 [R,S] i32 of
-    the y-clamped (y1,x0) tap, w4 [R,S,4] f32 folded bilinear weights)."""
+    the y-clamped (y1,x0) tap, w4 [R,4,S] f32 folded bilinear weights —
+    already in the kernel's (taps, S-lanes) layout so the caller's reshape
+    splits leading dims only, no transpose copy)."""
     x = jnp.clip(_unnormalize(grid[..., 0], W, align_corners), 0.0, W - 1.0)
     y = jnp.clip(_unnormalize(grid[..., 1], H, align_corners), 0.0, H - 1.0)
     x0 = jnp.floor(x)
@@ -74,7 +76,7 @@ def _cells_weights4(grid, H: int, W: int, align_corners: bool = True):
     cell = y0i * W + x0i
     c10 = jnp.minimum(y0i + 1, H - 1) * W + x0i
     w4 = jnp.stack([(1 - wx) * (1 - wy), wx * (1 - wy),
-                    (1 - wx) * wy, wx * wy], axis=-1)
+                    (1 - wx) * wy, wx * wy], axis=1)
     return cell, c10, w4
 
 
@@ -94,18 +96,19 @@ def _unique_compact(sorted_vals, cap: int, sentinel: int):
     """sorted_vals: [NB, L] ascending (sentinel-padded). Returns [NB, cap]
     sorted unique values with unused slots = -1.
 
-    Compaction by co-sort: first occurrences keep their rank as the key,
-    duplicates/sentinels get a large key, and one key-value sort moves the
-    unique values into the leading slots (searchsorted lowers to serial
+    Compaction by masked re-sort: duplicates and sentinels are overwritten
+    with the sentinel and ONE single-array sort floats the unique values
+    (already ascending) into the leading slots — half the bandwidth of a
+    key-value co-sort, and searchsorted is unusable (it lowers to serial
     while-loops on TPU; sorts are native)."""
     NB, L = sorted_vals.shape
     is_first = jnp.concatenate(
         [jnp.ones((NB, 1), bool),
          sorted_vals[:, 1:] != sorted_vals[:, :-1]], axis=-1)
     keep = is_first & (sorted_vals < sentinel)
-    key = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32), axis=-1), L + 1)
-    key2, vals = jax.lax.sort((key, sorted_vals), num_keys=1)
-    return jnp.where(key2[:, :cap] <= L, vals[:, :cap], -1)        # [NB,cap]
+    vals = jnp.sort(jnp.where(keep, sorted_vals, sentinel),
+                    axis=-1)[:, :cap]
+    return jnp.where(vals < sentinel, vals, -1)                    # [NB,cap]
 
 
 def block_union_cells(taps_runs, block_rays: int, ut: int, H: int, W: int):
@@ -313,16 +316,22 @@ def _block_trainable_bwd(kt, ut, n_groups, pairs, block_rays, res, g):
 
     cells_l, w4_l, u_l, rows_l = [], [], [], []
     flat = vfeats[0].reshape(V, H * W, Cc).astype(jnp.float32)
+    cell_l = []
     for v in range(V):
         cell, c10, w4 = _cells_weights4(grids[v, 0], H, W)
-        # raw-cell union (same set as run-compressed taps; see fwd path)
-        u = block_union_cells(cell, block_rays, ut, H, W)          # [NB,ut]
+        cell_l.append(cell)
+        cells_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
+                                  c10.reshape(NB, block_rays, S)], axis=2))
+        w4_l.append(w4.reshape(NB, block_rays, 4, S))
+    # raw-cell union, batched across views (same set as run-compressed
+    # taps; see fwd path)
+    u_all = block_union_cells(jnp.concatenate(cell_l, axis=0),
+                              block_rays, ut, H, W)                # [V*NB,ut]
+    for v in range(V):
+        u = u_all[v * NB:(v + 1) * NB]
         rows = jnp.take_along_axis(
             flat[v], jnp.clip(u, 0, H * W - 1).reshape(NB * ut)[:, None],
             axis=0, mode="promise_in_bounds").reshape(NB, ut, Cc)
-        cells_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
-                                  c10.reshape(NB, block_rays, S)], axis=2))
-        w4_l.append(jnp.moveaxis(w4.reshape(NB, block_rays, S, 4), -1, -2))
         u_l.append(u)
         rows_l.append(rows)
 
@@ -406,20 +415,25 @@ def block_banded_cosine_scale(vfeats, grids, kt: int, ut: int, n_groups: int,
 
     cells_l, c10_l, w4_l, u_l, rows_l = [], [], [], [], []
     flat = vfeats[0].reshape(V, H * W, Cc)
+    cell_l = []
     for v in range(V):
         cell, c10, w4 = _cells_weights4(grids[v, 0], H, W)
-        # Union straight from the raw per-sample cells: identical set to the
-        # run-compressed taps (run dedup only removes consecutive repeats)
-        # but skips the [R,S,kt] one-hot max (~2.6ms/slice on device); the
-        # wider first sort ([NB,8S] vs [NB,8kt]) is cheap — same trick as
-        # ops/pallas_color.py's supercell union.
-        u = block_union_cells(cell, block_rays, ut, H, W)          # [NB,ut]
+        cell_l.append(cell)
+        cells_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
+                                  c10.reshape(NB, block_rays, S)], axis=2))
+        w4_l.append(w4.reshape(NB, block_rays, 4, S))
+    # Union straight from the raw per-sample cells: identical set to the
+    # run-compressed taps (run dedup only removes consecutive repeats)
+    # but skips the [R,S,kt] one-hot max (~2.6ms/slice on device). All V
+    # views share ONE batched union call (same H/W/sentinel per scale):
+    # 4 sorts per scale instead of 12, each a single-array sort.
+    u_all = block_union_cells(jnp.concatenate(cell_l, axis=0),
+                              block_rays, ut, H, W)                # [V*NB,ut]
+    for v in range(V):
+        u = u_all[v * NB:(v + 1) * NB]                             # [NB,ut]
         rows = jnp.take_along_axis(
             flat[v], jnp.clip(u, 0, H * W - 1).reshape(NB * ut)[:, None],
             axis=0, mode="promise_in_bounds").reshape(NB, ut, Cc)
-        cells_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
-                                  c10.reshape(NB, block_rays, S)], axis=2))
-        w4_l.append(jnp.moveaxis(w4.reshape(NB, block_rays, S, 4), -1, -2))
         u_l.append(u[..., None])                                   # [NB,ut,1]
         rows_l.append(rows)
 

@@ -204,20 +204,24 @@ def supercell_color_sample(colors_sc, grids, img_h: int, img_w: int,
     sentinel = Hs * Ws
     flat = colors_sc[0].reshape(V, Hs * Ws, ROW_CH)
 
-    rows_l, u_l, ints_l, flts_l = [], [], [], []
+    rows_l, u_l, ints_l, flts_l, cell_l = [], [], [], [], []
     for v in range(V):
         cell, ty, tx, fy, fx = _supercell_cells_weights(
             grids[v, 0], img_h, img_w)
-        u = _unique_compact(
-            jnp.sort(cell.reshape(NB, block_rays * S), axis=-1), ut, sentinel)
-        rows = jnp.take_along_axis(
-            flat[v], jnp.clip(u, 0, sentinel - 1).reshape(NB * ut)[:, None],
-            axis=0, mode="promise_in_bounds").reshape(NB, ut, ROW_CH)
+        cell_l.append(cell.reshape(NB, block_rays * S))
         ints_l.append(jnp.stack([cell.reshape(NB, block_rays, S),
                                  ty.reshape(NB, block_rays, S),
                                  tx.reshape(NB, block_rays, S)], axis=2))
         flts_l.append(jnp.stack([fy.reshape(NB, block_rays, S),
                                  fx.reshape(NB, block_rays, S)], axis=2))
+    # all V views share one batched sort + compaction (same supercell grid)
+    u_all = _unique_compact(
+        jnp.sort(jnp.concatenate(cell_l, axis=0), axis=-1), ut, sentinel)
+    for v in range(V):
+        u = u_all[v * NB:(v + 1) * NB]
+        rows = jnp.take_along_axis(
+            flat[v], jnp.clip(u, 0, sentinel - 1).reshape(NB * ut)[:, None],
+            axis=0, mode="promise_in_bounds").reshape(NB, ut, ROW_CH)
         u_l.append(u[..., None])
         rows_l.append(rows)
 
