@@ -223,7 +223,9 @@ def get_interpolate_render_path(c2ws: np.ndarray, n_views: int = 30) -> np.ndarr
     N = len(c2ws)
     rotvec, positions = [], []
     rotvec_interp, positions_interp = [], []
-    weight = np.linspace(1.0, 0.0, n_views // 3, endpoint=False).reshape(-1, 1)
+    # max(1,...): n_views < 3 would otherwise yield an empty path and crash
+    weight = np.linspace(1.0, 0.0, max(1, n_views // 3),
+                         endpoint=False).reshape(-1, 1)
     for i in range(N):
         r = Rotation.from_matrix(c2ws[i, :3, :3])
         euler = r.as_euler("xyz", degrees=True).reshape(1, 3)

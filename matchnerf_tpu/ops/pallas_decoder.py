@@ -36,9 +36,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _elu(x):
+    # expm1-free ELU: Mosaic has no expm1 lowering (jax.nn.elu fails to
+    # compile for TPU inside a kernel). exp(min(x,0))-1 loses expm1's
+    # cancellation guard only for |x| < ~1e-7, irrelevant at f32 activation
+    # scales; min() keeps exp() from overflowing on the positive branch.
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
 def _act(name):
     return {"ReLU": lambda x: jnp.maximum(x, 0.0),
-            "ELU": jax.nn.elu, "GELU": jax.nn.gelu}[name or "ReLU"]
+            "ELU": _elu, "GELU": jax.nn.gelu}[name or "ReLU"]
 
 
 def _posenc_legacy_T(x, L: int):

@@ -87,10 +87,20 @@ def banded_impl(cfg) -> Optional[str]:
 
 def decoder_impl(cfg) -> str:
     """'pallas' routes the view_dep CondNeRF through the VMEM-resident
-    decoder megakernel (ops/pallas_decoder.py) on the eval path."""
+    decoder megakernel (ops/pallas_decoder.py) on the eval path.
+
+    The kernel keeps samples on the 128-lane axis and slices lanes at
+    multiples of S, so Mosaic lowering requires S % 128 == 0 ("offset
+    mismatch on non-concat dimension" otherwise); non-aligned S (tiny demo
+    shapes) falls back to the XLA decoder except in CPU interpret mode,
+    where tests exercise the kernel at small S."""
     prec = effective_precision(cfg)
     if hasattr(prec, "get") and bool(prec.get("decoder_kernel", False)):
-        return "pallas"
+        if int(cfg.nerf.sample_intvs) % 128 == 0 \
+                or jax.default_backend() == "cpu":
+            return "pallas"
+        log.info("decoder kernel off: sample_intvs %d not lane-aligned"
+                 % int(cfg.nerf.sample_intvs))
     return "xla"
 
 
