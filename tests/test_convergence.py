@@ -1,0 +1,85 @@
+"""Convergence regression: overfit the in-repo synthetic scene.
+
+The reference's correctness practice is golden-number parity after a full
+training run (/root/reference/README.md:134, configs/train.yaml:5). That is
+unreachable in-container, so this is the in-repo equivalent: the FULL
+optimizer/schedule/clip stack (build_optimizer + make_train_step — AdamW
+groups, OneCycleLR, encoder grad clip) must *learn* a tiny scene, not just
+descend for a few steps (tests/test_engine.py covers descent).
+
+Pinned numbers (CPU, seed 0): loss 0.142 -> <0.008 and a full-image render
+of the held-out target view at >= 20 dB PSNR after 80 steps (measured 22.7
+dB at 100 steps, 24.0 at 150, 31.4 at 200 steps with S=32 — see CLAUDE.md
+round-4 notes). The 20 dB bar is ~12 dB above the step-0 render (~8.5 dB):
+a real learning signal with margin for BLAS/thread jitter, cheap enough for
+the fast loop.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import __graft_entry__ as ge
+from matchnerf_tpu.data.synth import make_scene_views
+from matchnerf_tpu.models.matchnerf import init_matchnerf
+from matchnerf_tpu.train_step import build_optimizer, make_train_step
+from matchnerf_tpu.renderer import Renderer
+from matchnerf_tpu.utils import DotDict
+
+H, W = 32, 48
+STEPS = 80
+N_RAYS = 256
+
+
+def test_overfit_synthetic_scene():
+    cfg = ge._tiny_cfg(n_layers=2, sample_intvs=16)
+    cfg = DotDict(dict(cfg))
+    cfg.nerf.rand_rays_train = N_RAYS
+    cfg.optim = DotDict({
+        "lr_enc": 2e-4, "lr_dec": 5e-3, "clip_enc": 1.0,
+        "algo": DotDict({"type": "AdamW", "weight_decay": 0.0}),
+        "sched": DotDict({"type": "OneCycleLR", "pct_start": 0.1})})
+
+    v = make_scene_views(W, H)
+    batch = {
+        "images": jnp.asarray(v["images"][None]),              # [1,4,H,W,3]
+        "extrinsics": jnp.asarray(v["w2cs"][None]),
+        "intrinsics": jnp.asarray(v["intrinsics"][None]),
+        "near_fars": jnp.asarray(v["near_fars"][None]),
+        "tgt_c2w": jnp.asarray(v["c2ws"][None, -1, :3, :]),
+    }
+
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_optimizer(cfg, total_steps=STEPS)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx, H, W, N_RAYS)
+
+    rng = jax.random.PRNGKey(1)
+    first_loss = None
+    for it in range(STEPS):
+        rng, k = jax.random.split(rng)
+        params, opt_state, losses = step(params, opt_state, batch, k)
+        if first_loss is None:
+            first_loss = float(losses["all"])
+    final_loss = float(losses["all"])
+    assert first_loss > 0.05, first_loss
+    assert final_loss < 0.012, (first_loss, final_loss)
+
+    # full-image render of the target view through the production renderer
+    poses = {
+        "tgt": {"extrinsics": np.asarray(v["w2cs"][None, -1, :3, :]),
+                "intrinsics": np.asarray(v["intrinsics"][None, -1]),
+                "near_fars": np.asarray(v["near_fars"][None, -1])},
+        "ref": {"extrinsics": np.asarray(v["w2cs"][None, :3, :3, :]),
+                "intrinsics": np.asarray(v["intrinsics"][None, :3]),
+                "near_fars": np.asarray(v["near_fars"][None, :3])},
+    }
+    cfg.nerf.rand_rays_test = 1024
+    r = Renderer(cfg)
+    ref_images = jnp.asarray(v["images"][None, :3])
+    feats = r.encode(params, ref_images)
+    out = r.render_by_slices(params, poses, ref_images, feats, H, W)
+    pred = np.asarray(out["rgb"][0]).reshape(H, W, 3)
+    mse = float(np.mean((pred - v["images"][-1]) ** 2))
+    psnr = -10 * np.log10(mse)
+    assert psnr >= 20.0, f"overfit PSNR {psnr:.2f} dB < 20"
