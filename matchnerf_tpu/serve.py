@@ -24,15 +24,21 @@ with explicit dtype/shape):
   POST /scenes             -> {scene_id}
         {images: arr [V,H,W,3] float32 in [0,1] (or uint8),
          extrinsics: arr [V,3,4] or [V,4,4] world->cam,
-         intrinsics: arr [V,3,3], near_fars: arr [V,2]}
+         intrinsics: arr [V,3,3], near_fars: arr [V,2],
+         c2ws_all?: arr [M,3,4] or [M,4,4] cam->world — all captured camera
+         poses of the scene, enabling the LLFF-style spiral trajectory
+         (coach.py:472-475 passes these via the dataset's c2ws_all)}
   POST /render             -> {rgb: arr [H,W,3] uint8 (or float32),
                                depth: arr [H,W] float32}
         {scene_id, extrinsic: arr [3,4] or [4,4] world->cam,
          intrinsic: arr [3,3], near_far: arr [2],
          out_dtype: "uint8"|"float32" (default uint8)}
   POST /render_path        -> {frames: arr [n,H,W,3] uint8}
-        {scene_id, n_frames (default 8), mode: "interpolate",
-         intrinsic?: arr [3,3], near_far?: arr [2] (default: ref view 0)}
+        {scene_id, n_frames (default 8), mode: "interpolate"|"spiral",
+         intrinsic?: arr [3,3], near_far?: arr [2] (default: ref view 0),
+         c2ws_all?: arr [M,3,4|4,4] (spiral only; overrides the scene's;
+         when neither exists, the spiral falls back to the scene's V
+         source-camera poses)}
   DELETE /scenes/<id>      -> {ok}
 
 CLI: python -m matchnerf_tpu.serve --yaml=test --load=<ckpt> --port=8000
@@ -71,6 +77,17 @@ def _to34(e: np.ndarray) -> np.ndarray:
     return e[..., :3, :] if e.shape[-2] == 4 else e
 
 
+def _to44(e: np.ndarray) -> np.ndarray:
+    """[...,3,4] or [...,4,4] -> [...,4,4] float32 (homogeneous row added)."""
+    e = np.asarray(e, np.float32)
+    if e.shape[-2] == 4:
+        return e
+    sq = np.broadcast_to(np.eye(4, dtype=np.float32),
+                         (*e.shape[:-2], 4, 4)).copy()
+    sq[..., :3, :] = e
+    return sq
+
+
 class RenderService:
     """Model + scene cache + device lock. HTTP-free core (unit-testable)."""
 
@@ -92,7 +109,8 @@ class RenderService:
                 "uptime_s": round(time.time() - self.t0, 1)}
 
     def add_scene(self, images: np.ndarray, extrinsics: np.ndarray,
-                  intrinsics: np.ndarray, near_fars: np.ndarray) -> str:
+                  intrinsics: np.ndarray, near_fars: np.ndarray,
+                  c2ws_all: Optional[np.ndarray] = None) -> str:
         import jax.numpy as jnp
         V = int(self.cfg.n_src_views)
         assert images.shape[0] == V, (images.shape, V)
@@ -114,6 +132,7 @@ class RenderService:
                 "intrinsics": np.asarray(intrinsics, np.float32)[None],
                 "near_fars": np.asarray(near_fars, np.float32)[None],
             },
+            "c2ws_all": None if c2ws_all is None else _to44(c2ws_all),
         }
         while len(self.scenes) > self.max_scenes:
             evicted, _ = self.scenes.popitem(last=False)
@@ -126,17 +145,21 @@ class RenderService:
     def render_path(self, sid: str, n_frames: int = 8,
                     mode: str = "interpolate",
                     intrinsic: Optional[np.ndarray] = None,
-                    near_far: Optional[np.ndarray] = None) -> np.ndarray:
+                    near_far: Optional[np.ndarray] = None,
+                    c2ws_all: Optional[np.ndarray] = None) -> np.ndarray:
         """Render a novel camera trajectory (the video path of
         models/matchnerf.py:42-72). 'interpolate' needs only the scene's
-        source poses; 'spiral' requires c2ws_all, which scenes don't carry —
-        rejected here. Returns uint8 frames [n,H,W,3]."""
+        source poses; 'spiral' (the LLFF default, coach.py:472-475) uses
+        c2ws_all — request arg, else the scene's stored poses, else a
+        documented fallback to the V source-camera poses (the spiral then
+        orbits their average, with radii from their spread). Returns uint8
+        frames [n,H,W,3]."""
         sc = self.scenes.get(sid)
         if sc is None:
             raise KeyError(sid)
-        if mode != "interpolate":
-            raise ValueError(f"render_path supports mode='interpolate' "
-                             f"(got {mode!r}; spiral needs c2ws_all)")
+        if mode not in ("interpolate", "spiral"):
+            raise ValueError(f"render_path supports mode='interpolate' or "
+                             f"'spiral' (got {mode!r})")
         self.scenes.move_to_end(sid)
         H, W = sc["H"], sc["W"]
         intr = (np.asarray(intrinsic, np.float32) if intrinsic is not None
@@ -145,8 +168,16 @@ class RenderService:
               else sc["ref"]["near_fars"][0, 0])
         poses = {"ref": sc["ref"],
                  "tgt": {"intrinsics": intr[None], "near_fars": nf[None]}}
+        batch = None
+        if mode == "spiral":
+            c2a = c2ws_all if c2ws_all is not None else sc.get("c2ws_all")
+            if c2a is None:
+                from . import camera
+                c2a = camera.pose_inverse_legacy_np(
+                    sc["ref"]["extrinsics"][0])                 # [V,3,4] c2w
+            batch = {"c2ws_all": _to44(c2a)[None]}              # [1,M,4,4]
         frame_poses = self.renderer.get_video_rendering_path(
-            poses, mode, int(n_frames))
+            poses, mode, int(n_frames), batch=batch)
         frames = []
         with self.device_lock:
             for fp in frame_poses:
@@ -228,7 +259,9 @@ def make_handler(svc: RenderService):
                         decode_array(req["images"]),
                         decode_array(req["extrinsics"]),
                         decode_array(req["intrinsics"]),
-                        decode_array(req["near_fars"]))
+                        decode_array(req["near_fars"]),
+                        c2ws_all=(decode_array(req["c2ws_all"])
+                                  if "c2ws_all" in req else None))
                     return self._json(200, {"scene_id": sid})
                 if self.path == "/render":
                     sid = req["scene_id"]
@@ -254,7 +287,9 @@ def make_handler(svc: RenderService):
                         frames = svc.render_path(
                             sid, n_frames=int(req.get("n_frames", 8)),
                             mode=req.get("mode", "interpolate"),
-                            intrinsic=intr, near_far=nf)
+                            intrinsic=intr, near_far=nf,
+                            c2ws_all=(decode_array(req["c2ws_all"])
+                                      if "c2ws_all" in req else None))
                     except KeyError as e:
                         return self._json(404, {"error": f"unknown scene {e}"})
                     return self._json(200, {"frames": encode_array(frames)})

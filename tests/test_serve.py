@@ -151,9 +151,42 @@ def test_serve_render_path(server):
     # the middle frame differs from the endpoints (camera actually moves)
     assert not np.array_equal(frames[0], frames[1])
 
+    # spiral with no stored c2ws_all: falls back to the source-camera poses
+    # (n_frames=2 would sample theta={0, 2pi} — identical poses by the
+    # spiral's n_rots=2 construction; 3 frames give distinct cameras)
     code, resp = _call(port, "POST", "/render_path",
-                       {"scene_id": sid, "mode": "spiral"})
-    assert code == 400 and "spiral" in resp["error"]
+                       {"scene_id": sid, "mode": "spiral", "n_frames": 3})
+    assert code == 200, resp
+    sp = decode_array(resp["frames"])
+    assert sp.shape == (3, 32, 32, 3) and sp.dtype == np.uint8
+    assert not np.array_equal(sp[0], sp[1])      # camera actually moves
+
+    # spiral with request-supplied c2ws_all (the LLFF coach.py:472-475 flow)
+    from matchnerf_tpu import camera
+    c2a = camera.pose_inverse_legacy_np(d["poses"][0, :, :3, :])  # all V+1
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": sid, "mode": "spiral", "n_frames": 3,
+                        "c2ws_all": encode_array(c2a)})
+    assert code == 200, resp
+    sp2 = decode_array(resp["frames"])
+    assert sp2.shape == (3, 32, 32, 3)
+    # a wider pose set changes the trajectory, hence the frames
+    assert not np.array_equal(sp, sp2)
+
+    # scene-stored c2ws_all: same trajectory as the request-supplied one
+    payload2, _ = _scene_payload(cfg, seed=7)
+    payload2["c2ws_all"] = encode_array(c2a)
+    code, resp = _call(port, "POST", "/scenes", payload2)
+    assert code == 200
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": resp["scene_id"], "mode": "spiral",
+                        "n_frames": 3})
+    assert code == 200, resp
+    np.testing.assert_array_equal(decode_array(resp["frames"]), sp2)
+
+    code, resp = _call(port, "POST", "/render_path",
+                       {"scene_id": sid, "mode": "figure8"})
+    assert code == 400 and "figure8" in resp["error"]
 
     code, resp = _call(port, "POST", "/render_path",
                        {"scene_id": "scene-999999"})
