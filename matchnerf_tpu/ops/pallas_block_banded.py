@@ -92,6 +92,15 @@ def _runs_from_cells(cell, kt: int):
     return jnp.max(jnp.where(onehot_k, cell[:, :, None], 0), axis=1)
 
 
+def _sort_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Unstable single-operand row sort. `jnp.sort` defaults to stable=True,
+    which XLA:TPU lowers to a key-value co-sort against an iota tiebreaker —
+    double the sorted bytes for nothing when the rows are bare integers
+    (device trace 2026-08-19: the six [3072,1024] stable union sorts cost
+    ~3.4 ms/slice)."""
+    return jax.lax.sort(x, dimension=x.ndim - 1, is_stable=False)
+
+
 def _unique_compact(sorted_vals, cap: int, sentinel: int):
     """sorted_vals: [NB, L] ascending (sentinel-padded). Returns [NB, cap]
     sorted unique values with unused slots = -1.
@@ -106,8 +115,7 @@ def _unique_compact(sorted_vals, cap: int, sentinel: int):
         [jnp.ones((NB, 1), bool),
          sorted_vals[:, 1:] != sorted_vals[:, :-1]], axis=-1)
     keep = is_first & (sorted_vals < sentinel)
-    vals = jnp.sort(jnp.where(keep, sorted_vals, sentinel),
-                    axis=-1)[:, :cap]
+    vals = _sort_rows(jnp.where(keep, sorted_vals, sentinel))[:, :cap]
     return jnp.where(vals < sentinel, vals, -1)                    # [NB,cap]
 
 
@@ -121,13 +129,32 @@ def block_union_cells(taps_runs, block_rays: int, ut: int, H: int, W: int):
     NB = R // block_rays
     sentinel = H * W
     blk = taps_runs.reshape(NB, block_rays * kt)
-    u1 = _unique_compact(jnp.sort(blk, axis=-1), ut, sentinel)
+    u1 = _unique_compact(_sort_rows(blk), ut, sentinel)
     u1s = jnp.where(u1 < 0, sentinel, u1)
     dil = jnp.concatenate(
         [u1s, jnp.minimum(u1s + 1, sentinel),
          jnp.minimum(u1s + W, sentinel), jnp.minimum(u1s + W + 1, sentinel)],
         axis=-1)                                                   # [NB,4ut]
-    return _unique_compact(jnp.sort(dil, axis=-1), ut, sentinel)
+    return _unique_compact(_sort_rows(dil), ut, sentinel)
+
+
+def _dilated_union_max(blk, W: int, sentinel: int):
+    """blk: [NB, L] per-block cells (sentinel marks padding). Max over
+    blocks of |unique(dilate(cells))| with the {c, c+1, c+W, c+W+1}
+    dilation — the exact size `block_union_cells` would need."""
+
+    def n_unique(sorted_vals):
+        change = sorted_vals[:, 1:] != sorted_vals[:, :-1]
+        n = 1 + jnp.sum(change.astype(jnp.int32), axis=-1)
+        n_sent = jnp.sum((sorted_vals >= sentinel).astype(jnp.int32), axis=-1)
+        return n - jnp.minimum(n_sent, 1)      # sentinel block counts once
+
+    s1 = _sort_rows(blk)
+    # dilate the raw sorted cells (no intermediate cap: exact)
+    dil = jnp.concatenate(
+        [s1, jnp.minimum(s1 + 1, sentinel), jnp.minimum(s1 + W, sentinel),
+         jnp.minimum(s1 + W + 1, sentinel)], axis=-1)
+    return jnp.max(n_unique(_sort_rows(dil)))
 
 
 def block_union_size(grids_v, H: int, W: int, kt: int, block_rays: int = 8):
@@ -139,21 +166,22 @@ def block_union_size(grids_v, H: int, W: int, kt: int, block_rays: int = 8):
     taps = _runs_from_cells(cell, kt)
     R = taps.shape[0]
     NB = R // block_rays
-    sentinel = H * W
-    blk = taps.reshape(NB, block_rays * kt)
+    return _dilated_union_max(taps.reshape(NB, block_rays * kt), W, H * W)
 
-    def n_unique(sorted_vals):
-        change = sorted_vals[:, 1:] != sorted_vals[:, :-1]
-        n = 1 + jnp.sum(change.astype(jnp.int32), axis=-1)
-        n_sent = jnp.sum((sorted_vals >= sentinel).astype(jnp.int32), axis=-1)
-        return n - jnp.minimum(n_sent, 1)      # sentinel block counts once
 
-    s1 = jnp.sort(blk, axis=-1)
-    # dilate the raw sorted runs (no intermediate cap: exact)
-    dil = jnp.concatenate(
-        [s1, jnp.minimum(s1 + 1, sentinel), jnp.minimum(s1 + W, sentinel),
-         jnp.minimum(s1 + W + 1, sentinel)], axis=-1)
-    return jnp.max(n_unique(jnp.sort(dil, axis=-1)))
+def block_union_size_raw(grids_v, H: int, W: int, block_rays: int = 8):
+    """`block_union_size` without the per-ray run compression: unions the
+    RAW per-sample cells — exactly the set `block_banded_cosine_scale`
+    builds its unions from (run dedup only drops consecutive repeats, so
+    the unique set is identical), with no kt dependence and no [R,S,kt]
+    one-hot. grids_v: [R,S,2] or [V,R,S,2] (a view axis batches into one
+    sort; per-(view, block) maxima are preserved)."""
+    cell, _, _ = _cells_weights4(grids_v, H, W)      # [..., R, S]
+    S = cell.shape[-1]
+    R = cell.shape[-2]
+    NB = R // block_rays
+    blk = cell.reshape(-1, block_rays * S)           # [(V*)NB, 8S]
+    return _dilated_union_max(blk, W, H * W)
 
 
 def _block_cosine_kernel(*refs, V: int, S: int, ut: int, Cc: int,

@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import _unnormalize
-from .pallas_block_banded import _unique_compact
+from .pallas_block_banded import _sort_rows, _unique_compact
 
 SC = 4                                   # supercell edge, in pixels
 WIN = SC + 1                             # window edge (covers +1 taps)
@@ -104,14 +104,17 @@ def _supercell_cells_weights(grid, H: int, W: int, align_corners: bool = True):
 
 def color_union_size(grids_v, H: int, W: int, block_rays: int = 8):
     """Exact per-pose measurement: max sorted-unique supercell count over
-    all ray blocks for one view's grids [R,S,2] (no dilation — the window
-    covers the taps). One tiny dispatch per pose, like block_union_size."""
+    all ray blocks (no dilation — the window covers the taps). grids_v:
+    [R,S,2] or [V,R,S,2] (a view axis batches into one sort; per-(view,
+    block) maxima are preserved). One tiny dispatch per pose, like
+    block_union_size."""
     cell, _, _, _, _ = _supercell_cells_weights(grids_v, H, W)
-    R, S = cell.shape
+    S = cell.shape[-1]
+    R = cell.shape[-2]
     NB = R // block_rays
     Hs, Ws = -(-H // SC), -(-W // SC)
     sentinel = Hs * Ws
-    s1 = jnp.sort(cell.reshape(NB, block_rays * S), axis=-1)
+    s1 = _sort_rows(cell.reshape(-1, block_rays * S))
     change = s1[:, 1:] != s1[:, :-1]
     n = 1 + jnp.sum(change.astype(jnp.int32), axis=-1)
     n_sent = jnp.sum((s1 >= sentinel).astype(jnp.int32), axis=-1)
@@ -216,7 +219,7 @@ def supercell_color_sample(colors_sc, grids, img_h: int, img_w: int,
                                  fx.reshape(NB, block_rays, S)], axis=2))
     # all V views share one batched sort + compaction (same supercell grid)
     u_all = _unique_compact(
-        jnp.sort(jnp.concatenate(cell_l, axis=0), axis=-1), ut, sentinel)
+        _sort_rows(jnp.concatenate(cell_l, axis=0)), ut, sentinel)
     for v in range(V):
         u = u_all[v * NB:(v + 1) * NB]
         rows = jnp.take_along_axis(

@@ -168,8 +168,8 @@ def main():
         from matchnerf_tpu.models.matchnerf import (query_cond_info,  # noqa
                                                     sample_depth)
         from matchnerf_tpu import camera
-        from matchnerf_tpu.ops.pallas_block_banded import (block_union_size,
-                                                           bucket_ut)
+        from matchnerf_tpu.ops.pallas_block_banded import (
+            block_union_size_raw, bucket_ut)
         # grids for the measurement: project the trace's own ray points
         center, ray = camera.get_center_and_ray(pix, intr[:, -1], tgt_c2w)
         depth = sample_depth(cfg, nf[:, -1], 1, pix.shape[1])
@@ -182,10 +182,7 @@ def main():
         uts = []
         for si, vf in enumerate(tables["view_feats_unpacked"]):
             h, w = vf.shape[2], vf.shape[3]
-            n = max(int(block_union_size(grids[v, 0], h, w,
-                                         kt=banded_kt[min(si,
-                                                          len(banded_kt) - 1)]))
-                    for v in range(grids.shape[0]))
+            n = int(block_union_size_raw(grids[:, 0], h, w))
             uts.append(bucket_ut(n))
         block_ut = tuple(uts)
         print("block_ut =", block_ut, file=sys.stderr)
