@@ -52,6 +52,9 @@ def _apply_attn_layer(p, source, target, h, w, attn_num_splits, with_shift,
         if backend == "pallas":
             from ...ops.pallas_attention import flash_window_attention
             attn_fn = flash_window_attention
+        elif backend == "fused":
+            from ...ops.pallas_window_attention import fused_window_attention
+            attn_fn = fused_window_attention
         else:
             attn_fn = split_window_attention
         message = attn_fn(

@@ -35,12 +35,12 @@ def merge_splits(x, num_splits: int):
     return x.reshape(b, num_splits * hs, num_splits * ws, c)
 
 
-def generate_shift_window_attn_mask(h: int, w: int, window_size_h: int, window_size_w: int,
-                                    shift_size_h: int, shift_size_w: int) -> jnp.ndarray:
-    """Additive [K*K, win, win] mask for shifted windows (transformer.py:19-43).
+def window_region_ids(h: int, w: int, window_size_h: int, window_size_w: int,
+                      shift_size_h: int, shift_size_w: int) -> np.ndarray:
+    """Per-token region ids [K*K, win] for the shifted-window mask.
 
-    Pure-numpy (static shapes) so it constant-folds; -100 blocks cross-region
-    attention exactly as the swin reference does."""
+    Tokens in different regions of the same (rolled) window must not attend
+    to each other (transformer.py:19-43). Pure numpy — static shapes."""
     img_mask = np.zeros((h, w), np.float32)
     h_slices = (slice(0, -window_size_h), slice(-window_size_h, -shift_size_h),
                 slice(-shift_size_h, None))
@@ -55,6 +55,17 @@ def generate_shift_window_attn_mask(h: int, w: int, window_size_h: int, window_s
     num_splits = w // window_size_w
     m = img_mask.reshape(1, num_splits, window_size_h, num_splits, window_size_w, 1)
     m = m.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window_size_h * window_size_w)
+    return m
+
+
+def generate_shift_window_attn_mask(h: int, w: int, window_size_h: int, window_size_w: int,
+                                    shift_size_h: int, shift_size_w: int) -> jnp.ndarray:
+    """Additive [K*K, win, win] mask for shifted windows (transformer.py:19-43).
+
+    Pure-numpy (static shapes) so it constant-folds; -100 blocks cross-region
+    attention exactly as the swin reference does."""
+    m = window_region_ids(h, w, window_size_h, window_size_w,
+                          shift_size_h, shift_size_w)
     attn_mask = m[:, None, :] - m[:, :, None]
     attn_mask = np.where(attn_mask != 0, -100.0, 0.0).astype(np.float32)
     return jnp.asarray(attn_mask)
