@@ -89,3 +89,47 @@ def test_lpips_random_weight_parity(tmp_path, monkeypatch):
     got_z = lpips_jax.lpips_distance(z, b)
     want_z = _torch_lpips(weights, z, b)
     assert got_z == pytest.approx(want_z, rel=2e-5, abs=2e-6)
+
+
+def test_lpips_scores_through_eval_tools_and_scorer(tmp_path, monkeypatch):
+    """End-to-end: with a weights npz present, LPIPS flows through EvalTools
+    (the engine's per-view metric path) and the offline scorer instead of the
+    NaN gate — the exact plumbing a user with real VGG weights exercises
+    (reference misc/metrics.py:47-52, misc/score_preds.py)."""
+    import imageio.v2 as imageio
+
+    from matchnerf_tpu.metrics import EvalTools
+
+    rng = np.random.default_rng(7)
+    weights = _random_lpips_weights(rng)
+    cache = tmp_path / "lpips_rand.npz"
+    np.savez(cache, **weights)
+    monkeypatch.setattr(lpips_jax, "_CACHE", str(cache))
+    monkeypatch.setattr(lpips_jax, "_state", {})
+
+    H, W = 40, 48
+    gt = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
+    pred = np.clip(gt + rng.normal(0, 0.1, gt.shape).astype(np.float32), 0, 1)
+
+    tools = EvalTools()
+    tools.set_inputs(pred, gt)
+    m = tools.get_metrics()
+    assert np.isfinite(m["LPIPS"]) and m["LPIPS"] > 0
+    want = _torch_lpips(weights, tools.proc_pred, tools.proc_gt)
+    assert m["LPIPS"] == pytest.approx(want, rel=2e-5, abs=2e-6)
+
+    # offline scorer picks it up from saved pred/gt pairs
+    pdir = tmp_path / "preds"
+    pdir.mkdir()
+    imageio.imwrite(pdir / "scan1_00_pred.png",
+                    (pred * 255).round().astype(np.uint8))
+    imageio.imwrite(pdir / "scan1_00_gt.png",
+                    (gt * 255).round().astype(np.uint8))
+    import json
+
+    from matchnerf_tpu import score_preds
+    score_preds.main(["--pred_folder", str(pdir)])
+    with open(pdir / "0scores.json") as f:
+        scores = json.load(f)
+    lp = scores["scan1"][0]["metrics"]["LPIPS"]
+    assert np.isfinite(lp) and lp > 0
