@@ -41,6 +41,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .grid_sample import _unnormalize
 
+# Table-gradient scatter implementation for the trainable banded backward:
+# "add"    — one scatter-add per view (XLA serializes duplicate-index rows;
+#            measured ~10 ms/step at DTU train shapes)
+# "segsum" — sort rows by cell, inclusive cumsum, then TWO unique-index
+#            overwrite scatters (run end minus previous run end). Same sum
+#            up to f32 reassociation; every op is vectorized. MEASURED DEAD
+#            END (2026-08-19 device A/B at production settings): 127.1 vs
+#            96.0 ms/step — the [R*kt, C4] sort+permute+cumsum costs ~3x
+#            the serialized scatter it replaces. Kept for documentation.
+SCATTER_IMPL = "add"
+
+
+def scatter_rows_sum(taps, rows, HW: int):
+    """Sum `rows` [N,C] into a [HW,C] table at `taps` [N] via sorted
+    segment-cumsum-diff — a vectorized replacement for `.at[taps].add(rows)`
+    (which serializes on duplicate indices on TPU)."""
+    N, C = rows.shape
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sk, sv = jax.lax.sort((taps.astype(jnp.int32), iota), num_keys=1)
+    srows = jnp.take_along_axis(rows, sv[:, None], axis=0,
+                                mode="promise_in_bounds")
+    cs = jnp.cumsum(srows.astype(jnp.float32), axis=0)
+    nxt = jnp.concatenate([sk[1:], jnp.full((1,), HW, sk.dtype)])
+    is_end = sk != nxt
+    # run-end rows scatter their inclusive cumsum to the cell; every other
+    # row targets a unique trash slot so both scatters are pure writes
+    trash = HW + iota
+    idx_end = jnp.where(is_end, sk, trash)
+    out = jnp.zeros((HW + N, C), jnp.float32).at[idx_end].set(
+        cs, mode="promise_in_bounds", unique_indices=True)
+    # each run end also seeds the NEXT run's prefix (cumsum before its start)
+    idx_pre = jnp.where(is_end & (nxt < HW), nxt, trash)
+    pre = jnp.zeros((HW + N, C), jnp.float32).at[idx_pre].set(
+        cs, mode="promise_in_bounds", unique_indices=True)
+    return (out - pre)[:HW]
+
 
 def _cells_ranks_weights(grid, H: int, W: int, kt: int,
                          align_corners: bool = True):
@@ -473,12 +509,17 @@ def _banded_trainable_bwd(kt, n_groups, pairs, block_rays, res, g):
 
     d_flat = []
     for v in range(V):
-        # plain scatter-add: pre-sorting the indices (argsort + row permute
-        # for indices_are_sorted=True) measured WORSE (+2ms/step) — the
-        # permute costs more than the sorted scatter saves
-        dv = jnp.zeros((H * W, C4), jnp.float32).at[
-            taps[v].reshape(R * kt)].add(d_rows[v].reshape(R * kt, C4),
-                                         mode="promise_in_bounds")
+        if SCATTER_IMPL == "segsum":
+            dv = scatter_rows_sum(taps[v].reshape(R * kt),
+                                  d_rows[v].reshape(R * kt, C4), H * W)
+        else:
+            # plain scatter-add: pre-sorting the indices (argsort + row
+            # permute for indices_are_sorted=True) measured WORSE
+            # (+2ms/step) — the permute costs more than the sorted scatter
+            # saves when duplicates remain
+            dv = jnp.zeros((H * W, C4), jnp.float32).at[
+                taps[v].reshape(R * kt)].add(d_rows[v].reshape(R * kt, C4),
+                                             mode="promise_in_bounds")
         d_flat.append(dv)
     d_vfeats = jnp.stack(d_flat).reshape(1, V, H, W, C4).astype(vfeats.dtype)
     return d_vfeats, jnp.zeros_like(grids)

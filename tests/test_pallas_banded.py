@@ -328,3 +328,47 @@ def test_render_by_slices_banded_kernel_matches_direct():
         f"banded path did not engage: {engaged}"
     np.testing.assert_allclose(out_banded["rgb"], out_direct["rgb"],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_scatter_rows_sum_matches_scatter_add():
+    """segsum scatter (sorted cumsum-diff, unique-index writes) == .at[].add."""
+    from matchnerf_tpu.ops.pallas_banded import scatter_rows_sum
+
+    rng = np.random.default_rng(11)
+    for N, HW, C in [(1000, 64, 8), (4096, 512, 16), (7, 3, 4), (128, 1, 2),
+                     (64, 4096, 8)]:
+        taps = rng.integers(0, HW, N).astype(np.int32)
+        rows = rng.standard_normal((N, C)).astype(np.float32)
+        want = np.zeros((HW, C), np.float32)
+        np.add.at(want, taps, rows)
+        got = np.asarray(scatter_rows_sum(jnp.asarray(taps),
+                                          jnp.asarray(rows), HW))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-5)
+
+
+def test_banded_trainable_bwd_segsum_matches_add():
+    """Full trainable-banded backward with SCATTER_IMPL=segsum == add."""
+    from matchnerf_tpu.ops import pallas_banded as pb
+
+    rng = np.random.default_rng(12)
+    V, H, W, C = 3, 24, 28, 16
+    R, S, G = 12, 24, 4
+    Cc = (V - 1) * C
+    feat = rng.normal(0, 1, (V, H, W, Cc)).astype(np.float32)
+    packed = jax.vmap(lambda f: pack_2x2(f[None])[0])(jnp.asarray(feat))[None]
+    grids = _coherent_grids(rng, V, R, S)
+    pairs = tuple(pair_index_lists(V))
+
+    def loss(vf):
+        out = pb.banded_cosine_scale_trainable(vf, grids, 48, G, pairs, 8)
+        return jnp.sum(out * out)
+
+    g_add = jax.grad(loss)(packed)
+    old = pb.SCATTER_IMPL
+    try:
+        pb.SCATTER_IMPL = "segsum"
+        g_seg = jax.grad(loss)(packed)
+    finally:
+        pb.SCATTER_IMPL = old
+    np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_add),
+                               atol=2e-5, rtol=1e-4)

@@ -31,10 +31,18 @@ def main():
                              "trainable BLOCK kernel at this union bucket")
     parser.add_argument("--top", type=int, default=35)
     parser.add_argument("--dump_hlo", type=str, default="")
+    parser.add_argument("--scatter", type=str, default=None,
+                        help="table-gradient scatter impl for the banded "
+                             "backward: add | segsum "
+                             "(pallas_banded.SCATTER_IMPL)")
     args = parser.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    if args.scatter:
+        from matchnerf_tpu.ops import pallas_banded
+        pallas_banded.SCATTER_IMPL = args.scatter
 
     import __graft_entry__ as ge
     from matchnerf_tpu.models.matchnerf import init_matchnerf
