@@ -39,7 +39,13 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = False,
                  num_workers: int = 4, seed: int = 0, drop_last: bool = False,
-                 prefetch: int = 4):
+                 prefetch: int = 4, num_shards: int = 1, shard_id: int = 0):
+        """num_shards/shard_id: multi-host data sharding. `batch_size` stays
+        the GLOBAL batch; every process walks the identical (seeded) global
+        batch schedule but loads/decodes only its contiguous
+        batch_size/num_shards chunk, which `parallel.make_global_array`
+        assembles into the globally-sharded batch array. Tail batches not
+        divisible by num_shards are dropped (fixed shapes across hosts)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -47,13 +53,23 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = max(1, int(num_shards))
+        self.shard_id = int(shard_id)
+        assert 0 <= self.shard_id < self.num_shards
+        assert batch_size % self.num_shards == 0, (
+            f"global batch_size {batch_size} must divide over "
+            f"{self.num_shards} processes")
         self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+        n_batches = (n + self.batch_size - 1) // self.batch_size
+        tail = n % self.batch_size
+        if self.num_shards > 1 and tail and tail % self.num_shards:
+            n_batches -= 1  # ragged tail dropped by the shard split
+        return n_batches
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -67,6 +83,17 @@ class DataLoader:
         batches = [order[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.num_shards > 1:
+            # every process sees the same schedule; keep only this process's
+            # contiguous chunk of each batch (process-ordered blocks match
+            # the device order of the global mesh)
+            sharded = []
+            for idxs in batches:
+                if len(idxs) % self.num_shards:
+                    continue  # ragged tail: unsplittable under fixed shapes
+                k = len(idxs) // self.num_shards
+                sharded.append(idxs[self.shard_id * k:(self.shard_id + 1) * k])
+            batches = sharded
         return batches
 
     def __iter__(self) -> Iterator[Dict]:

@@ -20,6 +20,7 @@ import numpy as np
 
 from . import camera
 from .data import DataLoader, datas_dict
+from .parallel import distributed as dist
 from .metrics import EvalTools, summarize_loss, summarize_metrics
 from .models.matchnerf import init_matchnerf
 from .renderer import Renderer, extract_poses
@@ -47,8 +48,39 @@ class Coach:
 
     # ------------------------------ datasets --------------------------------
 
+    def _parallel_plan(self):
+        """Decide the parallel mode from config + the GLOBAL device view
+        (multi-host: jax.devices() spans every process after
+        `parallel.maybe_initialize`). Returns (mode, n_devices): mode is
+        'batch' (global batch dim sharded; each process loads its chunk),
+        'rays' (batch_size=1 flagship recipe: the ray axis shards, data is
+        replicated so every process loads the full batch), or None."""
+        n = int((self.cfg.get("parallel") or {}).get("data_parallel", -1) or -1)
+        avail = len(jax.devices())
+        if n <= 0:
+            n = avail
+        n = min(n, avail)
+        n_proc = jax.process_count()
+        if n_proc > 1 and n != avail:
+            # a mesh that omits some process's chips would deadlock its
+            # collectives; multi-host always spans the full global view
+            log.warn(f"parallel.data_parallel={n} ignored under "
+                     f"{n_proc} processes; using all {avail} devices")
+            n = avail
+        bsz = int(self.cfg.batch_size)
+        n_rays = int(self.cfg.nerf.rand_rays_train) // max(bsz, 1) \
+            if self.cfg.get("nerf") else 0
+        if n > 1 and bsz % n == 0 and bsz % n_proc == 0:
+            return "batch", n
+        if n > 1 and n_rays and n_rays % n == 0:
+            return "rays", n
+        return None, n
+
     def load_dataset(self, splits: List[str]):
         log.info("loading datasets...")
+        mode, _ = self._parallel_plan()
+        n_shards, shard_id = ((jax.process_count(), jax.process_index())
+                              if mode == "batch" else (1, 0))
         for split in splits:
             if not self.cfg.get(f"data_{split}"):
                 continue
@@ -73,7 +105,11 @@ class Coach:
                 loader = DataLoader(dataset, batch_size=self.cfg.batch_size,
                                     shuffle=(split == "train"),
                                     num_workers=data_cfg.get("num_workers", 4),
-                                    seed=int(self.cfg.get("seed") or 0))
+                                    seed=int(self.cfg.get("seed") or 0),
+                                    num_shards=(n_shards if split == "train"
+                                                else 1),
+                                    shard_id=(shard_id if split == "train"
+                                              else 0))
                 if split == "test":
                     self.test_loaders.append(loader)
                 else:
@@ -105,29 +141,19 @@ class Coach:
         reference's DataParallel wrap, coach.py:83-85). With n>1 devices and
         batch_size divisible by n, batches shard over the 'data' axis and
         params replicate; XLA inserts the gradient psum."""
-        from .parallel import make_mesh, replicate
+        from .parallel import make_mesh, replicate_tree
 
-        n = int((self.cfg.get("parallel") or {}).get("data_parallel", -1) or -1)
-        avail = len(jax.devices())
-        if n <= 0:
-            n = avail
-        n = min(n, avail)
-        n_rays = int(self.cfg.nerf.rand_rays_train) // max(int(self.cfg.batch_size), 1)
-        if n > 1 and int(self.cfg.batch_size) % n == 0:
-            self.parallel_mode = "batch"
-        elif n > 1 and n_rays % n == 0:
-            # flagship recipe is batch_size=1 (configs/train.yaml): shard the
-            # 1024-ray axis instead so every chip still contributes
-            self.parallel_mode = "rays"
-        else:
-            self.mesh, self.parallel_mode = None, None
+        self.parallel_mode, n = self._parallel_plan()
+        if self.parallel_mode is None:
+            self.mesh = None
             return
         self.mesh = make_mesh(n_devices=n)
-        self.params = jax.device_put(self.params, replicate(self.mesh))
+        self.params = replicate_tree(self.params, self.mesh)
         if self.opt_state is not None:
-            self.opt_state = jax.device_put(self.opt_state, replicate(self.mesh))
+            self.opt_state = replicate_tree(self.opt_state, self.mesh)
         self.renderer.set_mesh(self.mesh)
-        log.info(f"  * {self.parallel_mode}-parallel mesh over {n} devices")
+        log.info(f"  * {self.parallel_mode}-parallel mesh over {n} devices"
+                 f" ({jax.process_count()} processes)")
 
     def setup_eval_parallel(self):
         """Standalone-eval mesh (test.py path): replicate params and shard
@@ -135,15 +161,17 @@ class Coach:
         setup_parallel already configured this."""
         if self.mesh is not None:
             return
-        from .parallel import make_mesh, replicate
+        from .parallel import make_mesh, replicate_tree
 
         n = int((self.cfg.get("parallel") or {}).get("data_parallel", -1) or -1)
         avail = len(jax.devices())
         n = avail if n <= 0 else min(n, avail)
+        if jax.process_count() > 1:
+            n = avail  # multi-host meshes must span every process's chips
         if n <= 1:
             return
         self.mesh = make_mesh(n_devices=n)
-        self.params = jax.device_put(self.params, replicate(self.mesh))
+        self.params = replicate_tree(self.params, self.mesh)
         self.renderer.set_mesh(self.mesh)
         log.info(f"  * eval ray-sharding mesh over {n} devices")
 
@@ -184,7 +212,11 @@ class Coach:
     def save_checkpoint_now(self, ep: int, it: int, backup_ckpt: bool = True,
                             async_write: bool = False):
         """async_write is used for the frequent mid-epoch `latest.ckpt` saves
-        (training never blocks on disk); epoch-end/preemption saves are sync."""
+        (training never blocks on disk); epoch-end/preemption saves are sync.
+        Multi-host: params are fully replicated, so process 0 alone writes
+        (all other hosts skip; no cross-host gather needed)."""
+        if not dist.is_main_process():
+            return
         ckpt = {"model": self.params}
         if self.opt_state is not None:
             ckpt["optim"] = self.opt_state
@@ -204,6 +236,8 @@ class Coach:
 
     def log_scalars(self, loss=None, metric=None, lrates=None, step=0, split="train"):
         import json
+        if not dist.is_main_process():
+            return  # one scalars.jsonl / TB stream per run, owned by host 0
         record = {"step": int(step), "split": split, "time": time.time()}
         if loss is not None:
             for k, v in loss.items():
@@ -237,17 +271,23 @@ class Coach:
         tgt_extr = np.asarray(batch["extrinsics"][:, -1, :3, :])
         c2w = (camera.pose_inverse_legacy_np(tgt_extr) if self.cfg.nerf.legacy_coord
                else np.asarray(camera.pose_inverse(jnp.asarray(tgt_extr))))
-        dev = {
+        if getattr(self, "mesh", None) is not None:
+            from .parallel.mesh import shard_batch_tree
+            host = {
+                "images": np.asarray(batch["images"]),
+                "extrinsics": np.asarray(batch["extrinsics"]),
+                "intrinsics": np.asarray(batch["intrinsics"]),
+                "near_fars": np.asarray(batch["near_fars"]),
+                "tgt_c2w": np.asarray(c2w),
+            }
+            return shard_batch_tree(host, self.mesh)
+        return {
             "images": jnp.asarray(batch["images"]),
             "extrinsics": jnp.asarray(batch["extrinsics"]),
             "intrinsics": jnp.asarray(batch["intrinsics"]),
             "near_fars": jnp.asarray(batch["near_fars"]),
             "tgt_c2w": jnp.asarray(c2w),
         }
-        if getattr(self, "mesh", None) is not None:
-            from .parallel.mesh import shard_batch_tree
-            dev = shard_batch_tree(dev, self.mesh)
-        return dev
 
     def _install_preemption_handler(self):
         """Save a resumable checkpoint on SIGTERM/SIGINT (preemption-safe
@@ -462,7 +502,8 @@ class Coach:
                      (gt_rgb * 255).astype(np.uint8)], axis=1)
                 out_name = (f"{batch['scene'][b]}_view{batch['view_ids'][b][-1]}"
                             f"_it{iteration}.jpg")
-                save_image(os.path.join(out_dir, out_name), img_vis)
+                if dist.is_main_process():
+                    save_image(os.path.join(out_dir, out_name), img_vis)
 
                 mask = None
                 if self.val_loader.dataset.get_name().startswith("dtu"):
@@ -514,7 +555,7 @@ class Coach:
                         out_name = f"it{self.it}_{out_name}"
                     if ep is not None:
                         out_name = f"ep{ep}_{out_name}"
-                    if save_images or separate_save:
+                    if (save_images or separate_save) and dist.is_main_process():
                         if separate_save:
                             save_image(os.path.join(data_outdir, f"{out_name}_pred.png"), pred_u8)
                             save_image(os.path.join(data_outdir, f"{out_name}_gt.png"), gt_u8)
@@ -540,7 +581,9 @@ class Coach:
                     metrics_dict[dataname][pred_img_id] = cur_metrics
             self.renderer.nerf_setbg_opaque = False
 
-        sum_dict = summarize_metrics(metrics_dict, test_outroot, ep=ep)
+        sum_dict = summarize_metrics(
+            metrics_dict, test_outroot if dist.is_main_process() else None,
+            ep=ep)
         log_msg = (f"{self.ep:02d},{self.it:06d};"
                    if hasattr(self, "ep") and hasattr(self, "it") else "")
         for dataname, data_metric in sum_dict.items():
@@ -590,6 +633,8 @@ class Coach:
                 # forward() concatenates frames along axis 0: [n_frames*B, H*W, 3]
                 pred_rgb = (np.asarray(ret["rgb"]).reshape(n_frames, B, H, W, 3)
                             .transpose(1, 0, 2, 3, 4))
+                if not dist.is_main_process():
+                    continue
                 for b in range(B):
                     frames_u8 = [(pred_rgb[b, f] * 255).astype(np.uint8)
                                  for f in range(n_frames)]

@@ -1,1 +1,4 @@
-from .mesh import make_mesh, replicate, shard_batch_dim, shard_rays
+from .mesh import (make_mesh, replicate, replicate_tree, shard_batch_dim,
+                   shard_rays)
+from .distributed import (is_main_process, maybe_initialize, process_count,
+                          process_index)

@@ -43,14 +43,36 @@ def shard_rays(mesh: Mesh, axis_name: str = "data"):
 
 
 def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place every array in `batch` with its leading dim sharded when it
-    divides the mesh size, replicated otherwise."""
+    """Place every array in `batch` with its leading dim sharded when its
+    GLOBAL extent divides the mesh size, replicated otherwise.
+
+    Multi-process aware: each process passes only its local chunk of a
+    sharded batch dim (global extent = local * process_count, contiguous
+    per-process blocks in process order — the loader's shard contract),
+    and the full identical data for replicated leaves.
+    """
+    from .distributed import make_global_array
+
     n = mesh.devices.size
+    n_proc = jax.process_count()
 
     def place(x):
-        x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, shard_batch_dim(mesh, axis_name))
-        return jax.device_put(x, replicate(mesh))
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] > 0 and (x.shape[0] * n_proc) % n == 0:
+            return make_global_array(x, shard_batch_dim(mesh, axis_name))
+        return make_global_array(x, replicate(mesh))
 
     return jax.tree_util.tree_map(place, batch)
+
+
+def replicate_tree(tree, mesh: Mesh):
+    """Replicate every leaf of a host-resident pytree over the (possibly
+    multi-host) mesh. Params/opt-state live fully replicated; XLA's grad
+    psum keeps the copies in lockstep."""
+    from .distributed import make_global_array
+
+    sh = replicate(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+    return jax.tree_util.tree_map(
+        lambda x: make_global_array(np.asarray(x), sh), tree)

@@ -15,7 +15,10 @@ def main():
     log.title(f"[{__file__}] (MatchNeRF-TPU evaluation)")
     opt_cmd = options.parse_arguments(sys.argv[1:])
     opt = options.set_options(opt_cmd)
-    options.save_options_file(opt)
+    from matchnerf_tpu.parallel import distributed
+    distributed.maybe_initialize(opt)   # multi-host: before any device use
+    if distributed.is_main_process():
+        options.save_options_file(opt)
 
     coach = Coach(opt)
     coach.load_dataset(["test"])
