@@ -101,8 +101,9 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
     ray-sharded train step otherwise REPLICATES the whole encoder fwd+bwd
     (the dominant cost) on every chip; with this, GSPMD distributes the
     streams (gradients psum as usual). Math is per-stream, so sharding is
-    numerically inert. Forces the XLA attention path (a batch-sharded
-    pallas_call's auto-partitioning is unverified; XLA attention measured
+    numerically inert. Attention: the 'fused' window kernel runs per-shard
+    via shard_map (pallas_window_attention._run_sharded); the flash kernel
+    has no shard_map wrapper, so non-fused backends drop to XLA (measured
     within ~1.5% of flash at these window sizes).
     """
     cd = None
@@ -127,7 +128,13 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
             return x
         return jax.lax.with_sharding_constraint(x, stream_sharding)
 
-    if stream_sharding is not None:
+    if stream_sharding is not None and \
+            resolve_attention_backend(attention_backend) != "fused":
+        # the flash kernel has no shard_map wrapper; under GSPMD it would
+        # silently all-gather its operands. The fused kernel DOES run
+        # per-shard (pallas_window_attention._run_sharded), so it keeps its
+        # backend; everything else drops to XLA (measured within ~1.5% of
+        # flash at train window sizes).
         attention_backend = "xla"
 
     # backbone over all views at once (gmflow.py:51)
@@ -166,7 +173,7 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
             layers_cap=layers_caps[att_idx], wo_cross_attn=wo_cross_attn,
             wo_self_attn=wo_self_attn,
             backend=resolve_attention_backend(attention_backend),
-            remat=remat)
+            remat=remat, stream_sharding=stream_sharding)
 
         if keep_raw_feats:
             out_scales.append(jnp.stack([feat0, feat1], axis=1)

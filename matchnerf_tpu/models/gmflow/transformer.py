@@ -41,7 +41,8 @@ def _init_attn_layer(key, d_model, ffn_dim_expansion=4, no_ffn=False):
 
 
 def _apply_attn_layer(p, source, target, h, w, attn_num_splits, with_shift,
-                      shifted_window_attn_mask, backend: str = "xla"):
+                      shifted_window_attn_mask, backend: str = "xla",
+                      stream_sharding=None):
     """source/target: [B, H*W, C]. Returns source + message (transformer.py:147-185)."""
     b, L, c = source.shape
     query = linear(p["q_proj"], source)
@@ -49,18 +50,20 @@ def _apply_attn_layer(p, source, target, h, w, attn_num_splits, with_shift,
     value = linear(p["v_proj"], target)
 
     if attn_num_splits > 1:
+        kwargs = {}
         if backend == "pallas":
             from ...ops.pallas_attention import flash_window_attention
             attn_fn = flash_window_attention
         elif backend == "fused":
             from ...ops.pallas_window_attention import fused_window_attention
             attn_fn = fused_window_attention
+            kwargs["stream_sharding"] = stream_sharding
         else:
             attn_fn = split_window_attention
         message = attn_fn(
             query.reshape(b, h, w, c), key.reshape(b, h, w, c), value.reshape(b, h, w, c),
             num_splits=attn_num_splits, with_shift=with_shift,
-            attn_mask=shifted_window_attn_mask)
+            attn_mask=shifted_window_attn_mask, **kwargs)
         message = message.reshape(b, L, c)
     else:
         message = full_attention(query, key, value)
@@ -91,7 +94,7 @@ def init_feature_transformer(key, num_layers=6, d_model=128, ffn_dim_expansion=4
 def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
                               layers_cap=None, wo_cross_attn=False, wo_self_attn=False,
                               attention_type: str = "swin", backend: str = "xla",
-                              remat: bool = False):
+                              remat: bool = False, stream_sharding=None):
     """feature0/feature1: [B,H,W,C] paired views -> enhanced [B,H,W,C] each.
 
     Mirrors FeatureTransformer.forward (transformer.py:279-339): both views
@@ -113,7 +116,8 @@ def apply_feature_transformer(p, feature0, feature1, attn_num_splits: int,
 
     def attn_apply(p_l, src, tgt, with_shift):
         return _apply_attn_layer(p_l, src, tgt, h, w, attn_num_splits,
-                                 with_shift, mask, backend=backend)
+                                 with_shift, mask, backend=backend,
+                                 stream_sharding=stream_sharding)
 
     if remat:
         # recompute each attention layer in backward: activation memory per

@@ -200,13 +200,48 @@ def _make_core(L: int, C: int, BQ: int, K2: int, h: int, w: int,
     return core
 
 
+def _run_sharded(core, qs, ks, vs, stream_sharding, K2: int):
+    """Run the attention core under an explicit device mesh via shard_map.
+
+    A bare `pallas_call` inside a GSPMD-partitioned jit has no partitioning
+    rule — XLA would silently all-gather the batch-sharded operands onto
+    every device (the classic Pallas-under-GSPMD footgun). Instead the core
+    runs in shard_map over the stream axis: each device executes the kernel
+    on its local [b_local*K2, L, C] block with zero communication (windows
+    are batch-independent; split_feature is stream-major so K2-sized window
+    groups never straddle shards). Streams not divisible by the mesh pad
+    with zero windows (uniform softmax — finite everywhere) that are sliced
+    off again; their cotangents drop in the pad's transpose.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    mesh = stream_sharding.mesh
+    axis = stream_sharding.spec[0]
+    n = int(mesh.shape[axis])
+    b_new = qs.shape[0]
+    b = b_new // K2
+    pad = (-b) % n
+    if pad:
+        z = jnp.zeros((pad * K2,) + qs.shape[1:], qs.dtype)
+        qs, ks, vs = (jnp.concatenate([x, z], axis=0) for x in (qs, ks, vs))
+    fn = shard_map(core, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_vma=False)
+    out = fn(qs, ks, vs)
+    return out[:b_new] if pad else out
+
+
 def fused_window_attention(q, k, v, num_splits: int, with_shift: bool,
-                           attn_mask=None, interpret=None):
+                           attn_mask=None, interpret=None,
+                           stream_sharding=None):
     """Drop-in replacement for `split_window_attention` ([B,H,W,C] -> same).
 
     attn_mask is accepted for interface parity; the kernel derives the
     shifted-window mask from region ids instead. Unsupported window shapes
     fall back to the XLA path (which is where attn_mask is consumed).
+    stream_sharding: NamedSharding partitioning the leading (stream) axis —
+    runs the kernel per-shard via shard_map (see `_run_sharded`).
     """
     b, h, w, c = q.shape
     ws_h, ws_w = h // num_splits, w // num_splits
@@ -232,7 +267,10 @@ def fused_window_attention(q, k, v, num_splits: int, with_shift: bool,
     BQ = 256 if L % 256 == 0 else 128
     core = _make_core(L, c, BQ, K2, h, w, ws_h, ws_w, bool(with_shift),
                       bool(interpret))
-    out = core(qs, ks, vs)
+    if stream_sharding is not None:
+        out = _run_sharded(core, qs, ks, vs, stream_sharding, K2)
+    else:
+        out = core(qs, ks, vs)
 
     out = merge_splits(out.reshape(b_new, ws_h, ws_w, c), num_splits)
     if with_shift:

@@ -114,18 +114,24 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
     stratified = bool(cfg.nerf.sample_stratified)
     ray_sharding = None
     stream_sharding = None
-    if mesh is not None and shard_rays:
-        n_dev = mesh.devices.size
-        assert n_rays % n_dev == 0, (
-            f"ray-sharded training needs n_rays ({n_rays}) divisible by the "
-            f"mesh size ({n_dev})")
+    if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        ray_sharding = NamedSharding(mesh, P(None, "data"))
-        # at batch_size=1 the encoder would otherwise run fully REPLICATED
-        # on every chip (it dominates the step); shard its view/pair
-        # streams over the mesh (parallel.shard_encoder_streams to disable)
         par = cfg.get("parallel") or {}
-        if not hasattr(par, "get") or par.get("shard_encoder_streams", True):
+        shard_streams = (not hasattr(par, "get")
+                         or par.get("shard_encoder_streams", True))
+        if shard_rays:
+            n_dev = mesh.devices.size
+            assert n_rays % n_dev == 0, (
+                f"ray-sharded training needs n_rays ({n_rays}) divisible by "
+                f"the mesh size ({n_dev})")
+            ray_sharding = NamedSharding(mesh, P(None, "data"))
+        # Encoder stream sharding. Ray mode (batch_size=1): without it the
+        # encoder fwd+bwd (the dominant cost) REPLICATES on every chip.
+        # Batch mode: GSPMD already infers the same batch-major layout from
+        # the sharded inputs; the explicit sharding additionally routes the
+        # fused window-attention kernel through its shard_map wrapper
+        # (a bare pallas_call under GSPMD would all-gather).
+        if shard_streams:
             stream_sharding = NamedSharding(mesh, P("data"))
 
     prec = effective_precision(cfg)
