@@ -188,6 +188,21 @@ def _banded_cosine_kernel(*refs, V: int, S: int, kt: int, Cc: int,
         out_ref[b] = acc_pairs / len(pairs)                        # (G,S)
 
 
+def _fit_block_rays(preferred: int, per_ray_bytes: int,
+                    budget: int = 10 << 20) -> int:
+    """Halve the ray-block until its double-buffered VMEM windows fit.
+
+    The row blocks scale as block_rays*kt*C4*dtype — at DTU train banding
+    (kt<=48) 8-ray blocks fit, but the IBRNet recipe (1008x756, measured
+    kt=(48,96), f32 tables) overflows the 16MB scoped-vmem limit (18.49M,
+    2026-08-20 device compile). The budget leaves headroom for the kernel's
+    compute temporaries (onehot, per-view interp accumulators)."""
+    br = preferred
+    while br > 1 and br * per_ray_bytes > budget:
+        br //= 2
+    return br
+
+
 def banded_interp_cosine(rows_views, rank, wvals, scales, *, chunk_c: int,
                          n_groups: int, pairs: List[Tuple[int, int]],
                          block_rays: int = 8,
@@ -207,6 +222,8 @@ def banded_interp_cosine(rows_views, rank, wvals, scales, *, chunk_c: int,
     S = rank.shape[-1]
     compute_dtype = jnp.float32 if rows_views[0].dtype == jnp.float32 \
         else jnp.bfloat16
+    block_rays = _fit_block_rays(
+        block_rays, 2 * V * kt * C4 * rows_views[0].dtype.itemsize)
 
     pad = (-R) % block_rays
     if pad:
@@ -422,6 +439,8 @@ def _banded_rows_bwd(rows_views, rank, wvals, g, *, chunk_c, n_groups, pairs,
     R, kt, C4 = rows_views[0].shape
     Cc = C4 // 4
     S = rank.shape[-1]
+    # f32 rows in AND f32 d_rows out, both double-buffered
+    block_rays = _fit_block_rays(block_rays, 4 * V * kt * C4 * 4)
 
     pad = (-R) % block_rays
     if pad:

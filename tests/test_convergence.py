@@ -31,6 +31,7 @@ STEPS = 80
 N_RAYS = 256
 
 
+@pytest.mark.slow
 def test_overfit_synthetic_scene():
     cfg = ge._tiny_cfg(n_layers=2, sample_intvs=16)
     cfg = DotDict(dict(cfg))

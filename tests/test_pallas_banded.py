@@ -251,6 +251,7 @@ def test_sharded_eval_with_kernels_matches_single_device():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_banded_train_grads_through_render_rays():
     """End-to-end training gradients (encoder+decoder params) through
     render_rays with the banded kernel vs the direct packed path."""
@@ -372,3 +373,38 @@ def test_banded_trainable_bwd_segsum_matches_add():
         pb.SCATTER_IMPL = old
     np.testing.assert_allclose(np.asarray(g_seg), np.asarray(g_add),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fit_block_rays_vmem_budget():
+    """IBRNet-scale banding (kt=96, f32 C4=1024) must shrink the ray block
+    below the 16MB scoped-vmem limit; DTU shapes keep their defaults."""
+    from matchnerf_tpu.ops.pallas_banded import _fit_block_rays
+
+    # fwd: 2x double-buffered rows, V=3
+    per_ray = lambda kt, c4, b: 2 * 3 * kt * c4 * b
+    assert _fit_block_rays(8, per_ray(48, 1024, 4)) == 8     # DTU f32 train
+    assert _fit_block_rays(8, per_ray(96, 1024, 4)) == 4     # IBRNet f32
+    assert _fit_block_rays(8, per_ray(48, 256, 1)) == 8      # eval int8
+    # bwd: rows in + d_rows out, both f32 double-buffered
+    per_ray_bwd = lambda kt: 4 * 3 * kt * 1024 * 4
+    assert _fit_block_rays(4, per_ray_bwd(48)) == 4
+    assert _fit_block_rays(4, per_ray_bwd(96)) == 2
+    assert _fit_block_rays(8, 11 << 20) == 1                 # never 0
+
+
+def test_banded_kernel_small_block_rays_matches_default():
+    """A clamped (non-default) ray block must be numerically identical."""
+    from matchnerf_tpu.ops.pallas_banded import banded_cosine_scale
+
+    rng = np.random.default_rng(11)
+    V, H, W, Cc, R, S, kt = 3, 12, 12, 8, 10, 8, 6
+    vfeats = jnp.asarray(rng.standard_normal((1, V, H, W, 4 * Cc)),
+                         jnp.float32)
+    grids = jnp.asarray(rng.uniform(-0.9, 0.9, (V, 1, R, S, 2)), jnp.float32)
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    a = banded_cosine_scale(vfeats, grids, kt=kt, n_groups=4, pairs=pairs,
+                            block_rays=8)
+    b = banded_cosine_scale(vfeats, grids, kt=kt, n_groups=4, pairs=pairs,
+                            block_rays=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                               atol=1e-6)

@@ -7,6 +7,7 @@ matching + the same folded bilinear stencil, so only float rounding differs.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from matchnerf_tpu.models.gmflow.gmflow import pair_index_lists
 from matchnerf_tpu.ops.grid_sample import pack_2x2
@@ -247,6 +248,7 @@ def test_block_trainable_grads_match_direct():
     np.testing.assert_allclose(np.asarray(g_b)[0], acc, atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_block_train_grads_through_render_rays():
     """End-to-end training gradients (encoder+decoder params) through
     render_rays with the trainable block kernel (patch-aligned rays) vs the

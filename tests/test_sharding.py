@@ -11,6 +11,7 @@ def test_eight_cpu_devices():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__

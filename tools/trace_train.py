@@ -35,6 +35,14 @@ def main():
                         help="table-gradient scatter impl for the banded "
                              "backward: add | segsum "
                              "(pallas_banded.SCATTER_IMPL)")
+    parser.add_argument("--img_wh", type=str, default="640x512",
+                        help="training image size WxH (ibrnet recipe: "
+                             "1008x756 — the encoder's 756x1008->768x1024 "
+                             "resize hack engages automatically)")
+    parser.add_argument("--preset", type=str, default=None, choices=["ibrnet"],
+                        help="ibrnet: attn_splits [4] + density_maskfill + "
+                             "raytrans_posenc + ELU ray transformer "
+                             "(reference configs/train_ibrnet.yaml:5-14)")
     args = parser.parse_args()
 
     import jax
@@ -63,7 +71,14 @@ def main():
         "sched": None,
     })
     cfg.loss_weight = DotDict({"render": 1.0})
-    B, H, W, R = 1, 512, 640, 1024
+    if args.preset == "ibrnet":
+        cfg.encoder.attn_splits_list = [4]
+        cfg.decoder = DotDict(dict(cfg.decoder))
+        cfg.decoder.density_maskfill = True
+        cfg.decoder.raytrans_posenc = True
+        cfg.decoder.raytrans_act = "ELU"
+    wh = args.img_wh.lower().split("x")
+    B, H, W, R = 1, int(wh[1]), int(wh[0]), 1024
 
     params = init_matchnerf(jax.random.PRNGKey(0), cfg)
     d = ge._synthetic_inputs(cfg, B, H, W, R)
@@ -76,12 +91,26 @@ def main():
     }
     tx, _ = build_optimizer(cfg, total_steps=1000)
     opt_state = tx.init(params)
-    kt_list = [int(v) for v in args.banded_kt.split(",")]
-    if any(kt_list):
-        banded_kt = tuple(kt_list) if len(kt_list) > 1 \
-            else (kt_list[0], kt_list[0])
+    if args.banded_kt == "auto":
+        # per-pose run bound exactly as engine._train_banded_kt computes it
+        from matchnerf_tpu.renderer import banded_kt_host
+        up = int(cfg.encoder.get("upsample_factor", 2))
+        # the encoder's ibrnet resize hack changes the feature-map sizes
+        eh, ew = (768, 1024) if (H, W) == (756, 1008) else (H, W)
+        scale_hws = [(eh // 8, ew // 8), (eh // 8 * up, ew // 8 * up)]
+        kt = banded_kt_host(
+            cfg, d["tgt_c2w"], d["intr"][0, -1], d["near_fars"][0, -1],
+            d["poses"][0, :-1, :3, :], d["intr"][0, :-1], scale_hws, H, W)
+        banded_kt = None if (kt is None or any(k is None for k in kt)) \
+            else tuple(kt)
+        print(f"# auto banded_kt={banded_kt}")
     else:
-        banded_kt = None
+        kt_list = [int(v) for v in args.banded_kt.split(",")]
+        if any(kt_list):
+            banded_kt = tuple(kt_list) if len(kt_list) > 1 \
+                else (kt_list[0], kt_list[0])
+        else:
+            banded_kt = None
     block_ut = (args.block_ut, args.block_ut) if args.block_ut else None
     if block_ut:
         cfg.nerf = DotDict(dict(cfg.nerf))
