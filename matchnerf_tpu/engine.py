@@ -68,8 +68,10 @@ class Coach:
                      f"{n_proc} processes; using all {avail} devices")
             n = avail
         bsz = int(self.cfg.batch_size)
-        n_rays = int(self.cfg.nerf.rand_rays_train) // max(bsz, 1) \
-            if self.cfg.get("nerf") else 0
+        # eval-only configs carry no rand_rays_train; ray mode then never
+        # applies (eval sharding is per-slice, renderer-side)
+        n_rays = int((self.cfg.get("nerf") or {}).get("rand_rays_train")
+                     or 0) // max(bsz, 1)
         if n > 1 and bsz % n == 0 and bsz % n_proc == 0:
             return "batch", n
         if n > 1 and n_rays and n_rays % n == 0:
