@@ -50,6 +50,13 @@ def flash_window_attention(q, k, v, num_splits: int, with_shift: bool,
     b, h, w, c = q.shape
     ws_h, ws_w = h // num_splits, w // num_splits
     L = ws_h * ws_w
+    if L < 128 or c % 128:
+        # below the flash kernel's minimum tile (the stock kernel asserts /
+        # miscomputes on sub-lane windows — seen as a broadcast TypeError at
+        # L=6 on device, 2026-08-20); tiny windows are XLA-cheap anyway
+        from .attention import split_window_attention
+        return split_window_attention(q, k, v, num_splits, with_shift,
+                                      attn_mask)
     b_new = b * num_splits * num_splits
 
     if with_shift:

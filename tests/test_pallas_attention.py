@@ -39,3 +39,26 @@ def test_flash_window_grads_flow():
         g = jax.grad(f)(q)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_flash_tiny_window_falls_back_to_xla():
+    """Sub-lane windows (L<128) must route to the XLA path instead of the
+    stock flash kernel (which breaks on degenerate shapes — device-seen
+    TypeError at L=6, 2026-08-20)."""
+    import numpy as np
+
+    from matchnerf_tpu.ops import attention as attn_ops
+    from matchnerf_tpu.ops.pallas_attention import flash_window_attention
+
+    rng = np.random.default_rng(0)
+    B, H, W, C = 2, 4, 6, 128                  # splits=2 -> window 2x3, L=6
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+               for _ in range(3))
+    mask = attn_ops.generate_shift_window_attn_mask(H, W, H // 2, W // 2,
+                                                    H // 4, W // 4)
+    ref = attn_ops.split_window_attention(q, k, v, num_splits=2,
+                                          with_shift=True, attn_mask=mask)
+    out = flash_window_attention(q, k, v, num_splits=2, with_shift=True,
+                                 attn_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
