@@ -18,6 +18,7 @@ def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
@@ -141,6 +142,7 @@ def test_sharded_renderer_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_renderer_lane_major_kernel_stack():
     """The full production kernel stack (int8/uint8 tables, block + color +
     decoder kernels) with precision.lanemajor_cond must render identically

@@ -165,6 +165,7 @@ def test_fused_window_sharded_grad_parity():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_train_step_under_mesh():
     """The production train default (attention_backend: fused) engages the
     shard_map'd kernel in a ray-sharded train step on the 8-device mesh and
