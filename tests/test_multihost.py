@@ -184,3 +184,54 @@ def test_loader_sharding_partitions_batches():
     l0 = DataLoader(Five(), batch_size=2, shuffle=False, num_workers=1,
                     num_shards=2, shard_id=0)
     assert len(l0) == len(list(l0)) == 2
+
+
+@pytest.mark.slow
+def test_engine_two_process_training(tmp_path):
+    """Full Coach lifecycle on a real 2-process cluster: shard-aware loader
+    wiring, global-mesh dp training, and host-0-only file writes (each
+    process trains into its OWN output dir; process 1's must stay empty)."""
+    port = _free_port()
+    out = str(tmp_path / "result")
+    procs, logs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MATCHNERF_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["MATCHNERF_NUM_PROCESSES"] = "2"
+        env["MATCHNERF_PROCESS_ID"] = str(pid)
+        log_f = open(tmp_path / f"eng{pid}.log", "w")
+        logs.append(log_f)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "multihost_engine_worker.py"),
+             out, str(tmp_path / "runs")],
+            env=env, cwd=REPO, stdout=log_f, stderr=subprocess.STDOUT))
+    rcs = []
+    try:
+        for p in procs:
+            rcs.append(p.wait(timeout=900))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in logs:
+            f.close()
+    for pid, rc in enumerate(rcs):
+        if rc != 0:
+            raise AssertionError(
+                f"engine worker {pid} rc={rc}\n"
+                + (tmp_path / f"eng{pid}.log").read_text()[-4000:])
+
+    results = []
+    for pid in range(2):
+        with open(f"{out}.{pid}.json") as f:
+            results.append(json.load(f))
+    # params stayed in lockstep (grad psum across the process boundary)
+    np.testing.assert_allclose(results[0]["checksum"], results[1]["checksum"],
+                               rtol=1e-6)
+    assert results[0]["it"] == results[1]["it"] == 2  # 2 epochs x 1 batch
+    # host-0-only writes
+    assert results[0]["wrote_ckpt"] and results[0]["wrote_scalars"]
+    assert not results[1]["wrote_ckpt"] and not results[1]["wrote_scalars"]
