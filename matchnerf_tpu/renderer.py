@@ -666,8 +666,16 @@ class Renderer:
                 outs.setdefault(k, []).append(v)
         # keep results on-device until all groups are dispatched (device->host
         # transfers through the TPU tunnel would otherwise serialize slices)
-        return {k: np.asarray(jnp.concatenate(v, axis=1))[:, :n_pix]
-                for k, v in outs.items()}
+        final = {k: jnp.concatenate(v, axis=1) for k, v in outs.items()}
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host: the ray-sharded outputs span non-addressable
+            # devices; one jitted identity with replicated out-shardings
+            # all-gathers them over ICI so every host can read the image
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            final = jax.jit(lambda t: t,
+                            out_shardings={k: rep for k in final})(final)
+        return {k: np.asarray(v)[:, :n_pix] for k, v in final.items()}
 
     # ------------------------------ video ----------------------------------
 

@@ -235,3 +235,77 @@ def test_engine_two_process_training(tmp_path):
     # host-0-only writes
     assert results[0]["wrote_ckpt"] and results[0]["wrote_scalars"]
     assert not results[1]["wrote_ckpt"] and not results[1]["wrote_scalars"]
+
+
+@pytest.mark.slow
+def test_eval_two_process_renders_match_single(tmp_path):
+    """Production render_by_slices (shard_map ray sharding + full kernel
+    stack, interpret mode) across a 2-process mesh == single-device pixels."""
+    port = _free_port()
+    out = str(tmp_path / "rgb")
+    procs, logs = [], []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MATCHNERF_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+        env["MATCHNERF_NUM_PROCESSES"] = "2"
+        env["MATCHNERF_PROCESS_ID"] = str(pid)
+        log_f = open(tmp_path / f"ev{pid}.log", "w")
+        logs.append(log_f)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "multihost_eval_worker.py"), out],
+            env=env, cwd=REPO, stdout=log_f, stderr=subprocess.STDOUT))
+    rcs = []
+    try:
+        for p in procs:
+            rcs.append(p.wait(timeout=900))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for f in logs:
+            f.close()
+    for pid, rc in enumerate(rcs):
+        if rc != 0:
+            raise AssertionError(
+                f"eval worker {pid} rc={rc}\n"
+                + (tmp_path / f"ev{pid}.log").read_text()[-4000:])
+
+    rgb0 = np.load(f"{out}.0.npy")
+    rgb1 = np.load(f"{out}.1.npy")
+    np.testing.assert_array_equal(rgb0, rgb1)
+
+    # single-process reference on this process's 8 devices
+    import jax
+
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.renderer import Renderer, extract_poses
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=8)
+    cfg = DotDict(dict(cfg))
+    cfg.precision = DotDict({"cond_sample_dtype": "int8",
+                             "color_sample_dtype": "uint8",
+                             "banded_kernel": True, "block_kernel": True,
+                             "decoder_kernel": True,
+                             "color_block_kernel": True})
+    H, W = 16, 32
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    d = ge._synthetic_inputs(cfg, 1, H, W, R=16)
+    poses = extract_poses({"extrinsics": d["poses"], "intrinsics": d["intr"],
+                           "near_fars": d["near_fars"]})
+    r = Renderer(cfg)
+    ref_images = jax.numpy.asarray(d["images"][:, : cfg.n_src_views])
+    feats = r.encode(params, ref_images)
+    tables = r.build_tables(ref_images, feats)
+    ref_out = r.render_by_slices(params, poses, ref_images, feats, H, W,
+                                 tables=tables)
+    # cross-topology: the multi-process program's GSPMD partitioning
+    # reassociates a few reductions (measured max |d| 3.2e-4) — hold it to
+    # the same >=60 dB agreement budget as encoder stream sharding
+    mse = float(np.mean((rgb0 - np.asarray(ref_out["rgb"])) ** 2))
+    psnr = np.inf if mse == 0 else -10 * np.log10(mse)
+    assert psnr >= 60.0, f"2-process eval agreement {psnr:.1f} dB"
