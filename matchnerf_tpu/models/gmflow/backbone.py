@@ -29,13 +29,18 @@ def _init_block(key, c_in, c_out, stride):
     return p
 
 
-def _apply_block(p, x, stride, dilation=1):
+def _apply_block(p, x, stride, dilation=1, data_format="NHWC"):
+    axes = (1, 2) if data_format == "NHWC" else (2, 3)
     y = relu(instance_norm_2d(conv2d(p["conv1"], x, stride=stride,
-                                     padding=dilation, dilation=dilation)))
+                                     padding=dilation, dilation=dilation,
+                                     data_format=data_format), axes=axes))
     y = relu(instance_norm_2d(conv2d(p["conv2"], y, stride=1,
-                                     padding=dilation, dilation=dilation)))
+                                     padding=dilation, dilation=dilation,
+                                     data_format=data_format), axes=axes))
     if "downsample" in p:
-        x = instance_norm_2d(conv2d(p["downsample"], x, stride=stride, padding=0))
+        x = instance_norm_2d(conv2d(p["downsample"], x, stride=stride,
+                                    padding=0, data_format=data_format),
+                             axes=axes)
     return relu(x + y)
 
 
@@ -58,22 +63,37 @@ def init_cnn_encoder(key, output_dim: int = 128, num_output_scales: int = 1):
     return p
 
 
-def apply_cnn_encoder(p, x, num_output_scales: int = 1):
+def apply_cnn_encoder(p, x, num_output_scales: int = 1,
+                      data_format: str = "NHWC"):
     """x: [B,H,W,3] -> list of [B,h,w,C] feature maps, high-to-low resolution.
 
     Single-scale (default): one 1/8-res map. Multi-scale: trident branches at
-    strides (1,2,...) of the 1/4-res trunk."""
+    strides (1,2,...) of the 1/4-res trunk.
+
+    data_format='NCHW' (encoder.conv_data_format knob) runs the trunk
+    channels-second: at C=64/96 the NHWC elementwise/IN ops tile the 128
+    vector lanes on the channel axis and waste half of them, while NCHW puts
+    the wide W axis minor. Transposes happen only at entry/exit; weights and
+    results are layout-invariant (same math, reductions reassociate)."""
     stride3 = 2 if num_output_scales == 1 else 1
-    x = relu(instance_norm_2d(conv2d(p["conv1"], x, stride=2, padding=3)))
-    x = _apply_block(p["layer1"][0], x, 1)
-    x = _apply_block(p["layer1"][1], x, 1)
-    x = _apply_block(p["layer2"][0], x, 2)
-    x = _apply_block(p["layer2"][1], x, 1)
-    x = _apply_block(p["layer3"][0], x, stride3)
-    x = _apply_block(p["layer3"][1], x, 1)
-    x = conv2d(p["conv2"], x, stride=1, padding=0)
+    axes = (1, 2) if data_format == "NHWC" else (2, 3)
+    if data_format == "NCHW":
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    x = relu(instance_norm_2d(conv2d(p["conv1"], x, stride=2, padding=3,
+                                     data_format=data_format), axes=axes))
+    x = _apply_block(p["layer1"][0], x, 1, data_format=data_format)
+    x = _apply_block(p["layer1"][1], x, 1, data_format=data_format)
+    x = _apply_block(p["layer2"][0], x, 2, data_format=data_format)
+    x = _apply_block(p["layer2"][1], x, 1, data_format=data_format)
+    x = _apply_block(p["layer3"][0], x, stride3, data_format=data_format)
+    x = _apply_block(p["layer3"][1], x, 1, data_format=data_format)
+    x = conv2d(p["conv2"], x, stride=1, padding=0, data_format=data_format)
+
+    def out(t):
+        return jnp.transpose(t, (0, 2, 3, 1)) if data_format == "NCHW" else t
 
     if num_output_scales > 1:
         strides = {2: (1, 2), 3: (1, 2, 4), 4: (1, 2, 4, 8)}[num_output_scales]
-        return [conv2d(p["trident_conv"], x, stride=s, padding=1) for s in strides]
-    return [x]
+        return [out(conv2d(p["trident_conv"], x, stride=s, padding=1,
+                           data_format=data_format)) for s in strides]
+    return [out(x)]

@@ -82,7 +82,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
                                  feature_upsampler: str = "network",
                                  attention_backend: str = "auto",
                                  compute_dtype=None, remat: bool = False,
-                                 stream_sharding=None):
+                                 stream_sharding=None,
+                                 conv_data_format: str = "NHWC"):
     """Encode source views into matched pair features.
 
     images: [B, V, H, W, 3] in [0,1]. Returns a list over scales of
@@ -143,7 +144,8 @@ def gmflow_extract_pair_features(params, images, attn_splits_list, n_views: int,
         net_in = net_in.astype(cd)
     net_in = shard_streams(net_in)
     feats = apply_cnn_encoder(params["backbone"], net_in,
-                              num_output_scales=num_scales)
+                              num_output_scales=num_scales,
+                              data_format=conv_data_format)
     feats = feats[::-1]  # low-to-high resolution (gmflow.py:53-54)
 
     all_scales = list(range(num_scales))

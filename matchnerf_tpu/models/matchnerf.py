@@ -65,7 +65,8 @@ def encode(params, cfg, ref_images, stream_sharding=None) -> List[jnp.ndarray]:
         wo_self_attn=cfg.encoder.wo_self_attn,
         attention_backend=str(cfg.encoder.get("attention_backend", "auto")),
         compute_dtype=cd, remat=bool(get("remat_encoder", False)),
-        stream_sharding=stream_sharding)
+        stream_sharding=stream_sharding,
+        conv_data_format=str(cfg.encoder.get("conv_data_format", "NHWC")))
 
 
 def sample_depth(cfg, near_far, batch_size: int, num_rays: int,

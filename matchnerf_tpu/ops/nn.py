@@ -29,8 +29,10 @@ def linear(p, x):
     return y
 
 
-def conv2d(p, x, stride=1, padding="SAME", dilation=1):
-    """x: [B,H,W,C_in]; p['w']: [kH,kW,C_in,C_out]."""
+def conv2d(p, x, stride=1, padding="SAME", dilation=1,
+           data_format: str = "NHWC"):
+    """x: [B,H,W,C_in] (or [B,C_in,H,W] with data_format='NCHW');
+    p['w']: [kH,kW,C_in,C_out] either way (weights stay layout-invariant)."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(dilation, int):
@@ -40,9 +42,9 @@ def conv2d(p, x, stride=1, padding="SAME", dilation=1):
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=stride, padding=padding,
         rhs_dilation=dilation,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=(data_format, "HWIO", data_format))
     if "b" in p:
-        y = y + p["b"]
+        y = y + (p["b"] if data_format == "NHWC" else p["b"][:, None, None])
     return y
 
 

@@ -15,9 +15,11 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def instance_norm_2d(x, eps: float = 1e-5):
-    """x: [B,H,W,C]; normalize each (sample, channel) over H,W. No affine.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def instance_norm_2d(x, eps: float = 1e-5, axes=(1, 2)):
+    """x: [B,H,W,C] (axes=(1,2), default) or [B,C,H,W] (axes=(2,3) — the
+    NCHW backbone layout experiment); normalize each (sample, channel) over
+    the spatial axes. No affine.
 
     Statistics always accumulate in f32 (bf16 mean/var over 20k+ pixels
     loses precision). For f32 inputs the two-pass formula is kept bit-exact
@@ -31,36 +33,36 @@ def instance_norm_2d(x, eps: float = 1e-5):
     Custom VJP: the analytic dx = inv*(dy - mean(dy) - xh*mean(dy*xh))
     in two fused reduction passes — autodiff's var backward alone measured
     6.2 ms/step at DTU train shapes."""
-    y, _ = _in2d_fwd_impl(x, eps)
+    y, _ = _in2d_fwd_impl(x, eps, axes)
     return y
 
 
-def _in2d_fwd_impl(x, eps):
+def _in2d_fwd_impl(x, eps, axes=(1, 2)):
     if x.dtype == jnp.float32:
-        m = x.mean(axis=(1, 2), keepdims=True)
-        var = x.var(axis=(1, 2), keepdims=True)
+        m = x.mean(axis=axes, keepdims=True)
+        var = x.var(axis=axes, keepdims=True)
         # divide (not reciprocal-multiply): bit-exact with round-1 — the
         # ulp difference tripped 1e-5 batch-consistency tolerances
         return (x - m) / jnp.sqrt(var + eps), (m, 1.0 / jnp.sqrt(var + eps))
-    m = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    var = jnp.mean(jnp.square(x.astype(jnp.float32) - m), axis=(1, 2),
+    m = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    var = jnp.mean(jnp.square(x.astype(jnp.float32) - m), axis=axes,
                    keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     return (x - m.astype(x.dtype)) * inv.astype(x.dtype), (m, inv)
 
 
-def _in2d_fwd(x, eps):
-    y, (m, inv) = _in2d_fwd_impl(x, eps)
+def _in2d_fwd(x, eps, axes):
+    y, (m, inv) = _in2d_fwd_impl(x, eps, axes)
     return y, (x, m, inv)
 
 
-def _in2d_bwd(eps, res, dy):
+def _in2d_bwd(eps, axes, res, dy):
     x, m, inv = res
     f32 = x.dtype == jnp.float32
     xh = (x - m.astype(x.dtype)) * inv.astype(x.dtype)     # recompute
-    a = jnp.mean(dy, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    b = jnp.mean((dy * xh).astype(jnp.float32), axis=(1, 2), keepdims=True) \
-        if not f32 else jnp.mean(dy * xh, axis=(1, 2), keepdims=True)
+    a = jnp.mean(dy, axis=axes, keepdims=True, dtype=jnp.float32)
+    b = jnp.mean((dy * xh).astype(jnp.float32), axis=axes, keepdims=True) \
+        if not f32 else jnp.mean(dy * xh, axis=axes, keepdims=True)
     dx = (dy - a.astype(x.dtype) - xh * b.astype(x.dtype)) \
         * inv.astype(x.dtype)
     return (dx,)

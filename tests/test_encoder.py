@@ -119,3 +119,37 @@ def test_gmflow_full_parity():
                                    atol=2e-3, rtol=1e-4)
         np.testing.assert_allclose(ours[:, :, 1].transpose(0, 1, 4, 2, 3), ref1,
                                    atol=2e-3, rtol=1e-4)
+
+
+def test_backbone_nchw_matches_nhwc():
+    """encoder.conv_data_format=NCHW (lane-utilization experiment) is a pure
+    relayout: same math, fwd + grads match NHWC (reductions reassociate ->
+    tolerance, not bit-equality)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from matchnerf_tpu.models.gmflow.backbone import (apply_cnn_encoder,
+                                                      init_cnn_encoder)
+
+    rng = np.random.default_rng(0)
+    p = init_cnn_encoder(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)).astype(np.float32))
+
+    def run(fmt):
+        def loss(p, x):
+            outs = apply_cnn_encoder(p, x, data_format=fmt)
+            return sum(jnp.sum(o * o) for o in outs)
+        (out,) = apply_cnn_encoder(p, x, data_format=fmt)
+        g = jax.grad(loss)(p, x)
+        return out, g
+
+    out_h, g_h = run("NHWC")
+    out_c, g_c = run("NCHW")
+    assert out_h.shape == out_c.shape
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_h),
+                               rtol=2e-4, atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_h),
+                    jax.tree_util.tree_leaves(g_c)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=5e-4)

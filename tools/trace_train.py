@@ -39,6 +39,10 @@ def main():
                         help="training image size WxH (ibrnet recipe: "
                              "1008x756 — the encoder's 756x1008->768x1024 "
                              "resize hack engages automatically)")
+    parser.add_argument("--conv_format", type=str, default="NHWC",
+                        choices=["NHWC", "NCHW"],
+                        help="backbone conv/IN data layout "
+                             "(encoder.conv_data_format A/B)")
     parser.add_argument("--preset", type=str, default=None, choices=["ibrnet"],
                         help="ibrnet: attn_splits [4] + density_maskfill + "
                              "raytrans_posenc + ELU ray transformer "
@@ -62,6 +66,7 @@ def main():
     cfg = DotDict(dict(cfg))
     cfg.encoder = DotDict(dict(cfg.encoder))
     cfg.encoder.attention_backend = args.attention_backend
+    cfg.encoder.conv_data_format = args.conv_format
     cfg.precision = DotDict({"encoder_compute_dtype": args.encoder_dtype,
                              "decoder_compute_dtype": args.decoder_dtype,
                              "remat_encoder": bool(args.remat)})
