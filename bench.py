@@ -28,7 +28,7 @@ V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BYTES = 819e9
 
 
-def analytic_costs(cfg, S, V, banded_kt, block_ut, color_ut):
+def analytic_costs(cfg, S, V, block_ut, color_ut):
     """Model FLOPs/ray and HBM bytes/ray for the production eval stack.
 
     FLOPs count the MODEL's math (the same numbers the direct XLA path
@@ -283,7 +283,7 @@ def main():
     # bound (see BASELINE.md "Roofline position").
     flops_per_ray, bytes_per_ray = analytic_costs(
         cfg, S=int(cfg.nerf.sample_intvs), V=cfg.n_src_views,
-        banded_kt=banded_kt, block_ut=block_ut, color_ut=color_ut)
+        block_ut=block_ut, color_ut=color_ut)
     achieved_flops = flops_per_ray * rays_per_sec
     hbm_bps = bytes_per_ray * rays_per_sec
 

@@ -108,13 +108,21 @@ def override_options(opt: DotDict, opt_over, key_stack=None, safe_check=False) -
     return opt
 
 
-def set_options(opt_cmd: Optional[DotDict] = None) -> DotDict:
-    """Entry point mirroring `options.set` (options.py:50-60)."""
+def build_options(opt_cmd: Optional[DotDict] = None) -> DotDict:
+    """Load + override, WITHOUT the filesystem/naming side effects of
+    `process_options` — the multi-host entry points initialize
+    jax.distributed between the two phases so run naming can be agreed
+    across hosts before anything touches disk."""
     opt_cmd = opt_cmd or DotDict()
     log.info("setting configurations...")
     assert "yaml" in opt_cmd, "must specify --yaml=<config>"
     opt_base = load_options(str(opt_cmd["yaml"]))
-    opt = override_options(opt_base, opt_cmd, key_stack=[], safe_check=True)
+    return override_options(opt_base, opt_cmd, key_stack=[], safe_check=True)
+
+
+def set_options(opt_cmd: Optional[DotDict] = None) -> DotDict:
+    """Entry point mirroring `options.set` (options.py:50-60)."""
+    opt = build_options(opt_cmd)
     process_options(opt)
     log.options(opt)
     return opt
@@ -148,10 +156,21 @@ def process_options(opt: DotDict):
         randkey = "".join(random.choice(string.ascii_uppercase) for _ in range(4))
         opt["name"] = f"{opt['name']}_{randkey}"
 
+    # multi-host: the default name embeds a host-local timestamp (and a
+    # random suffix when seed is unset) — every host must agree on the run
+    # directory, so all adopt host 0's resolved name. No-op single-process.
+    import jax
+
+    if jax.process_count() > 1:
+        from .parallel.distributed import broadcast_str
+
+        opt["name"] = broadcast_str(str(opt["name"]))
+
     opt["output_path"] = os.path.join(opt.get("output_root", "outputs"), str(opt["name"]))
     os.makedirs(opt["output_path"], exist_ok=True)
-    with open(os.path.join(opt["output_path"], "run.bash"), "a+") as f:
-        f.write("python %s\n" % " ".join(sys.argv))
+    if jax.process_index() == 0:
+        with open(os.path.join(opt["output_path"], "run.bash"), "a+") as f:
+            f.write("python %s\n" % " ".join(sys.argv))
 
 
 def save_options_file(opt: DotDict):

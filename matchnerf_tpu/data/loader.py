@@ -44,8 +44,9 @@ class DataLoader:
         the GLOBAL batch; every process walks the identical (seeded) global
         batch schedule but loads/decodes only its contiguous
         batch_size/num_shards chunk, which `parallel.make_global_array`
-        assembles into the globally-sharded batch array. Tail batches not
-        divisible by num_shards are dropped (fixed shapes across hosts)."""
+        assembles into the globally-sharded batch array. ALL partial tail
+        batches are dropped (fixed shapes across hosts; a short tail could
+        not shard over the device mesh anyway)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -63,13 +64,9 @@ class DataLoader:
 
     def __len__(self):
         n = len(self.dataset)
-        if self.drop_last:
-            return n // self.batch_size
-        n_batches = (n + self.batch_size - 1) // self.batch_size
-        tail = n % self.batch_size
-        if self.num_shards > 1 and tail and tail % self.num_shards:
-            n_batches -= 1  # ragged tail dropped by the shard split
-        return n_batches
+        if self.drop_last or self.num_shards > 1:
+            return n // self.batch_size    # sharded loaders drop all tails
+        return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -86,11 +83,15 @@ class DataLoader:
         if self.num_shards > 1:
             # every process sees the same schedule; keep only this process's
             # contiguous chunk of each batch (process-ordered blocks match
-            # the device order of the global mesh)
+            # the device order of the global mesh). ALL partial tails drop:
+            # a tail smaller than the global batch can't shard over the mesh
+            # (dp mode requires batch_size % n_devices == 0), and building
+            # it "replicated" from per-process different rows would silently
+            # corrupt the global array.
             sharded = []
             for idxs in batches:
-                if len(idxs) % self.num_shards:
-                    continue  # ragged tail: unsplittable under fixed shapes
+                if len(idxs) != self.batch_size:
+                    continue
                 k = len(idxs) // self.num_shards
                 sharded.append(idxs[self.shard_id * k:(self.shard_id + 1) * k])
             batches = sharded

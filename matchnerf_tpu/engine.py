@@ -198,18 +198,39 @@ class Coach:
             if not os.path.isfile(ckpt_path):
                 log.warn(f"can NOT find previous checkpoints at {ckpt_path}")
                 log.warn("start training from scratch.")
-                return
-            log.info("resuming from previous checkpoint...")
-            self.params, opt, ep, it = restore_checkpoint(
-                self.params, ckpt_path, resume=True, optim_state=self.opt_state)
-            if opt is not None:
-                self.opt_state = opt
-            self.epoch_start, self.iter_start = ep, it
+            else:
+                log.info("resuming from previous checkpoint...")
+                self.params, opt, ep, it = restore_checkpoint(
+                    self.params, ckpt_path, resume=True,
+                    optim_state=self.opt_state)
+                if opt is not None:
+                    self.opt_state = opt
+                self.epoch_start, self.iter_start = ep, it
         elif cfg.get("load"):
             log.info(f"loading weights from checkpoint {cfg.load}...")
             self.params, _, _, _ = restore_checkpoint(self.params, cfg.load)
         else:
             log.info("initializing weights from scratch...")
+        self._sync_state_from_host0()
+
+    def _sync_state_from_host0(self):
+        """Multi-host: only host 0 writes checkpoints, and on clusters
+        without a shared filesystem the other hosts may not see the file at
+        all — or, worse, restore different bytes. Every host adopts host 0's
+        params/opt-state/progress so the replicated-params invariant holds
+        regardless of checkpoint visibility. No-op single-process."""
+        if jax.process_count() == 1:
+            return
+        state = dist.broadcast_tree({
+            "params": self.params,
+            "opt": self.opt_state,
+            "ep": np.int64(self.epoch_start),
+            "it": np.int64(self.iter_start)})
+        self.params = state["params"]
+        if self.opt_state is not None:
+            self.opt_state = state["opt"]
+        self.epoch_start = int(state["ep"])
+        self.iter_start = int(state["it"])
 
     def save_checkpoint_now(self, ep: int, it: int, backup_ckpt: bool = True,
                             async_write: bool = False):
@@ -282,7 +303,8 @@ class Coach:
                 "near_fars": np.asarray(batch["near_fars"]),
                 "tgt_c2w": np.asarray(c2w),
             }
-            return shard_batch_tree(host, self.mesh)
+            mode = "batch" if self.parallel_mode == "batch" else "replicated"
+            return shard_batch_tree(host, self.mesh, mode=mode)
         return {
             "images": jnp.asarray(batch["images"]),
             "extrinsics": jnp.asarray(batch["extrinsics"]),

@@ -213,7 +213,12 @@ def _run_sharded(core, qs, ks, vs, stream_sharding, K2: int):
     with zero windows (uniform softmax — finite everywhere) that are sliced
     off again; their cotangents drop in the pad's transpose.
     """
-    from jax import shard_map
+    import inspect
+
+    try:
+        from jax import shard_map
+    except ImportError:                      # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     mesh = stream_sharding.mesh
@@ -225,9 +230,12 @@ def _run_sharded(core, qs, ks, vs, stream_sharding, K2: int):
     if pad:
         z = jnp.zeros((pad * K2,) + qs.shape[1:], qs.dtype)
         qs, ks, vs = (jnp.concatenate([x, z], axis=0) for x in (qs, ks, vs))
+    rep_kw = ("check_vma"
+              if "check_vma" in inspect.signature(shard_map).parameters
+              else "check_rep")
     fn = shard_map(core, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis)),
-                   out_specs=P(axis), check_vma=False)
+                   out_specs=P(axis), **{rep_kw: False})
     out = fn(qs, ks, vs)
     return out[:b_new] if pad else out
 

@@ -102,6 +102,33 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def broadcast_str(s: str, max_len: int = 512) -> str:
+    """All hosts adopt process 0's string (run names contain host-local
+    timestamps / random suffixes; every host must agree on output paths).
+    No-op single-process."""
+    if jax.process_count() == 1:
+        return s
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((max_len,), np.uint8)
+    raw = s.encode("utf-8")[:max_len]
+    buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode("utf-8")
+
+
+def broadcast_tree(tree):
+    """All hosts adopt process 0's pytree (checkpoint restore on clusters
+    without a shared filesystem: only host 0 may see latest.ckpt; silently
+    training from per-host divergent params would corrupt the replicated
+    invariant). No-op single-process."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
 def make_global_array(x, sharding) -> jax.Array:
     """Turn process-local numpy data into a global `jax.Array` under
     `sharding`.

@@ -42,24 +42,36 @@ def shard_rays(mesh: Mesh, axis_name: str = "data"):
     return NamedSharding(mesh, P(None, axis_name))
 
 
-def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place every array in `batch` with its leading dim sharded when its
-    GLOBAL extent divides the mesh size, replicated otherwise.
+def shard_batch_tree(batch, mesh: Mesh, axis_name: str = "data",
+                     mode: str = "batch"):
+    """Place a host batch onto the (possibly multi-host) mesh.
 
-    Multi-process aware: each process passes only its local chunk of a
-    sharded batch dim (global extent = local * process_count, contiguous
-    per-process blocks in process order — the loader's shard contract),
-    and the full identical data for replicated leaves.
+    mode='batch': each process passes its LOCAL chunk of the global batch
+    (contiguous per-process blocks in process order — the loader's shard
+    contract); leading dims shard over the mesh. mode='replicated': every
+    process passes the FULL identical batch (the rays-mode / eval data
+    contract) and everything replicates — ray sharding then happens
+    in-graph. The mode must be explicit: local-chunk vs full-copy data is
+    indistinguishable from shapes alone, and guessing wrong silently builds
+    a corrupt global array (per-process different rows labeled replicated,
+    or identical copies stacked into a doubled batch).
     """
     from .distributed import make_global_array
 
     n = mesh.devices.size
     n_proc = jax.process_count()
+    assert mode in ("batch", "replicated"), mode
 
     def place(x):
         x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] > 0 and (x.shape[0] * n_proc) % n == 0:
+        if mode == "batch" and x.ndim >= 1 and x.shape[0] > 0 \
+                and (x.shape[0] * n_proc) % n == 0:
             return make_global_array(x, shard_batch_dim(mesh, axis_name))
+        if mode == "batch" and n_proc > 1:
+            raise ValueError(
+                f"batch-mode leaf with local leading dim {x.shape[:1]} can't "
+                f"shard over {n} devices and can't be replicated either "
+                "(each process holds a different chunk)")
         return make_global_array(x, replicate(mesh))
 
     return jax.tree_util.tree_map(place, batch)

@@ -205,6 +205,7 @@ class Renderer:
         executables so they re-trace with the sharding constraints."""
         self.mesh = mesh
         self._render_jit = {}
+        self._gather_jit = {}
 
     def _ray_constraint(self, pix, ray_dim: int):
         """Constrain `pix`'s ray axis over the mesh when it divides evenly."""
@@ -671,10 +672,16 @@ class Renderer:
             # multi-host: the ray-sharded outputs span non-addressable
             # devices; one jitted identity with replicated out-shardings
             # all-gathers them over ICI so every host can read the image
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            rep = NamedSharding(self.mesh, P())
-            final = jax.jit(lambda t: t,
-                            out_shardings={k: rep for k in final})(final)
+            # (cached — a fresh lambda per call would recompile per image)
+            key = tuple(sorted(final))
+            if getattr(self, "_gather_jit", None) is None:
+                self._gather_jit = {}
+            if key not in self._gather_jit:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                rep = NamedSharding(self.mesh, P())
+                self._gather_jit[key] = jax.jit(
+                    lambda t: t, out_shardings={k: rep for k in key})
+            final = self._gather_jit[key](final)
         return {k: np.asarray(v)[:, :n_pix] for k, v in final.items()}
 
     # ------------------------------ video ----------------------------------

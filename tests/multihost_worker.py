@@ -88,7 +88,7 @@ def main():
     batch1 = shard_batch_tree({
         "images": d1["images"], "extrinsics": d1["poses"],
         "intrinsics": d1["intr"], "near_fars": d1["near_fars"],
-        "tgt_c2w": d1["tgt_c2w"]}, mesh)
+        "tgt_c2w": d1["tgt_c2w"]}, mesh, mode="replicated")
     step_rays = make_train_step(cfg, tx, H, W, n_rays=16, mesh=mesh,
                                 shard_rays=True)
     _, _, loss_r = step_rays(params, opt_state, batch1, jax.random.PRNGKey(3))

@@ -74,7 +74,7 @@ def _single_process_reference():
     batch1 = shard_batch_tree({
         "images": d1["images"], "extrinsics": d1["poses"],
         "intrinsics": d1["intr"], "near_fars": d1["near_fars"],
-        "tgt_c2w": d1["tgt_c2w"]}, mesh)
+        "tgt_c2w": d1["tgt_c2w"]}, mesh, mode="replicated")
     step_rays = make_train_step(cfg, tx, H, W, n_rays=16, mesh=mesh,
                                 shard_rays=True)
     _, _, loss_r = step_rays(params, opt_state, batch1, jax.random.PRNGKey(3))
@@ -170,13 +170,14 @@ def test_loader_sharding_partitions_batches():
                                           seed=7, num_workers=1,
                                           num_shards=2, shard_id=s)]
               for s in range(2)]
-    # tail batch of 2 is divisible by 2 shards -> kept; 10/4 -> 3 batches
-    assert len(shards[0]) == len(shards[1]) == 3
-    for k in range(3):
+    # ALL partial tails drop when sharded (the tail of 2 could not shard
+    # over a device mesh; a "replicated" tail of per-process different rows
+    # would silently corrupt the global array): 10/4 -> 2 full batches
+    assert len(shards[0]) == len(shards[1]) == 2
+    for k in range(2):
         glob = np.concatenate([shards[0][k], shards[1][k]], axis=0)
         np.testing.assert_array_equal(glob, full[k])
 
-    # ragged tail (5 % 2 != 0 with batch_size 4 -> tail 1) gets dropped
     class Five(Nums):
         def __len__(self):
             return 5

@@ -14,9 +14,11 @@ def main():
 
     log.title(f"[{__file__}] (MatchNeRF-TPU training)")
     opt_cmd = options.parse_arguments(sys.argv[1:])
-    opt = options.set_options(opt_cmd)
+    opt = options.build_options(opt_cmd)
     from matchnerf_tpu.parallel import distributed
-    distributed.maybe_initialize(opt)   # multi-host: before any device use
+    distributed.maybe_initialize(opt)   # before run naming / any device use
+    options.process_options(opt)        # hosts agree on the run directory
+    log.options(opt)
     if distributed.is_main_process():
         options.save_options_file(opt)
 
