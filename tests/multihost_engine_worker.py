@@ -105,6 +105,24 @@ def main():
               "wrote_ckpt": os.path.exists(
                   os.path.join(cfg.output_path, "models", "latest.ckpt")),
               "wrote_scalars": os.path.exists(coach.scalars_path)}
+
+    # resume on a "cluster without a shared filesystem": only host 0's
+    # output dir has models/latest.ckpt; the other host hits the scratch
+    # branch and must adopt host 0's params/progress via the broadcast
+    # (engine._sync_state_from_host0)
+    cfg2 = DotDict(dict(cfg))
+    cfg2.resume = True
+    coach2 = Coach(cfg2)
+    coach2.load_dataset(["train"])
+    coach2.build_networks()
+    coach2.setup_optimizer()
+    coach2.restore_checkpoint_if_needed()
+    checksum2 = float(jax.jit(lambda p: sum(
+        jax.numpy.sum(jax.numpy.abs(x))
+        for x in jax.tree_util.tree_leaves(p)))(coach2.params))
+    result["resume_epoch_start"] = coach2.epoch_start
+    result["resume_iter_start"] = coach2.iter_start
+    result["resume_checksum"] = checksum2
     with open(f"{out_path}.{pid}.json", "w") as f:
         json.dump(result, f)
     print(f"engine worker {pid}: OK {result}")

@@ -236,6 +236,14 @@ def test_engine_two_process_training(tmp_path):
     # host-0-only writes
     assert results[0]["wrote_ckpt"] and results[0]["wrote_scalars"]
     assert not results[1]["wrote_ckpt"] and not results[1]["wrote_scalars"]
+    # resume with per-host dirs (host 1 has no checkpoint): the host-0
+    # broadcast must give BOTH hosts the trained params and progress
+    for r in results:
+        assert r["resume_epoch_start"] == 2 and r["resume_iter_start"] == 2, r
+    np.testing.assert_allclose(results[0]["resume_checksum"],
+                               results[1]["resume_checksum"], rtol=1e-6)
+    np.testing.assert_allclose(results[0]["resume_checksum"],
+                               results[0]["checksum"], rtol=1e-6)
 
 
 @pytest.mark.slow
