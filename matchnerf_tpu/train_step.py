@@ -159,18 +159,32 @@ def make_train_step(cfg, tx, img_h: int, img_w: int, n_rays: int,
 
         rng_rays, rng_depth = jax.random.split(rng)
         B = ref_images.shape[0]
+        sampler = str(cfg.nerf.get("train_ray_sampler", "permutation")) \
+            if hasattr(cfg.nerf, "get") else "permutation"
+
+        def sample_wo_replacement(rng_s, n_total, k):
+            """Uniform k-subset without replacement. 'permutation' argsorts
+            the full index range (the reference's randperm semantics);
+            'topk' orders random keys with lax.top_k instead — the same
+            distribution (order by iid uniform keys), a different lowering."""
+            if sampler == "topk":
+                keys = jax.random.uniform(rng_s, (n_total,))
+                _, idx = jax.lax.top_k(keys, k)
+                return idx
+            return jax.random.permutation(rng_s, n_total)[:k]
+
         if ray_patches:
             # 8-aligned horizontal pixel strips: each strip is one block of
             # the block-banded kernel (the absolute 8-alignment matches the
             # per-pose union measurement partition). Strips are sampled
             # without replacement, pixels within a strip are correlated —
             # an opt-in deviation from the reference's iid-ray recipe.
-            starts = jax.random.permutation(
-                rng_rays, (img_h * img_w) // 8)[: n_rays // 8] * 8
+            starts = sample_wo_replacement(
+                rng_rays, (img_h * img_w) // 8, n_rays // 8) * 8
             ray_idx = (starts[:, None] + jnp.arange(8)[None, :]).reshape(-1)
         else:
             # same random subset for all batch elements (matchnerf.py:53)
-            ray_idx = jax.random.permutation(rng_rays, img_h * img_w)[: n_rays]
+            ray_idx = sample_wo_replacement(rng_rays, img_h * img_w, n_rays)
         off = 0.0 if cfg.nerf.legacy_coord else 0.5
         pix_x = (ray_idx % img_w).astype(jnp.float32) + off
         pix_y = (ray_idx // img_w).astype(jnp.float32) + off

@@ -76,3 +76,42 @@ def test_resume_from_checkpoint(tmp_path):
     p_a = np.asarray(coach.params["nerf_dec"]["pts_bias"]["w"])
     p_b = np.asarray(coach2.params["nerf_dec"]["pts_bias"]["w"])
     np.testing.assert_array_equal(p_a, p_b)
+
+
+def test_topk_ray_sampler_is_valid_subset():
+    """nerf.train_ray_sampler=topk: same distribution family as randperm
+    (order by iid uniform keys) — unique in-range indices, deterministic
+    per seed, and the train step runs."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.train_step import build_optimizer, make_train_step
+    from matchnerf_tpu.utils import DotDict
+
+    cfg = ge._tiny_cfg(n_layers=1, sample_intvs=4)
+    cfg = DotDict(dict(cfg))
+    cfg.nerf = DotDict(dict(cfg.nerf))
+    cfg.nerf.train_ray_sampler = "topk"
+    B, H, W = 1, 16, 16
+    params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+    tx, _ = build_optimizer(cfg, total_steps=10)
+    opt_state = tx.init(params)
+    d = ge._synthetic_inputs(cfg, B, H, W, R=16)
+    batch = {"images": d["images"], "extrinsics": d["poses"],
+             "intrinsics": d["intr"], "near_fars": d["near_fars"],
+             "tgt_c2w": d["tgt_c2w"]}
+    step = make_train_step(cfg, tx, H, W, n_rays=32)
+    _, _, l1 = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    _, _, l1b = step(params, opt_state, batch, jax.random.PRNGKey(1))
+    _, _, l2 = step(params, opt_state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(l1["all"]))
+    assert float(l1["all"]) == float(l1b["all"])      # deterministic
+    assert float(l1["all"]) != float(l2["all"])       # rng-sensitive
+
+    # the sampled subset itself: unique and in range
+    keys = jax.random.uniform(jax.random.PRNGKey(3), (H * W,))
+    _, idx = jax.lax.top_k(keys, 32)
+    idx = np.asarray(idx)
+    assert len(np.unique(idx)) == 32 and idx.min() >= 0 and idx.max() < H * W
