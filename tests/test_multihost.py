@@ -318,3 +318,29 @@ def test_eval_two_process_renders_match_single(tmp_path):
     mse = float(np.mean((rgb0 - np.asarray(ref_out["rgb"])) ** 2))
     psnr = np.inf if mse == 0 else -10 * np.log10(mse)
     assert psnr >= 60.0, f"2-process eval agreement {psnr:.1f} dB"
+
+
+def test_shard_batch_tree_modes():
+    """mode='batch' vs 'replicated' placement on the single-process mesh
+    (the multi-process raise path is exercised by construction: local-chunk
+    vs full-copy ambiguity is a ValueError, not a silent guess)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from matchnerf_tpu.parallel import make_mesh
+    from matchnerf_tpu.parallel.mesh import shard_batch_tree
+
+    mesh = make_mesh(n_devices=8)
+    tree = {"a": np.zeros((8, 3), np.float32),     # divides the mesh
+            "b": np.zeros((1, 5), np.float32)}     # does not
+    out = shard_batch_tree(tree, mesh, mode="batch")
+    assert out["a"].sharding.spec == P("data")
+    assert out["b"].sharding.spec in (P(), P(None))
+    out_r = shard_batch_tree(tree, mesh, mode="replicated")
+    assert out_r["a"].sharding.spec in (P(), P(None))
+    try:
+        shard_batch_tree(tree, mesh, mode="bogus")
+        raise AssertionError("bogus mode must be rejected")
+    except AssertionError as e:
+        if "bogus" not in str(e):
+            raise
