@@ -115,3 +115,35 @@ def test_topk_ray_sampler_is_valid_subset():
     _, idx = jax.lax.top_k(keys, 32)
     idx = np.asarray(idx)
     assert len(np.unique(idx)) == 32 and idx.min() >= 0 and idx.max() < H * W
+
+
+def test_train_step_nchw_matches_nhwc():
+    """The shipped train.yaml default (encoder.conv_data_format: NCHW)
+    composes through the full jitted train step and reproduces the NHWC
+    loss (pure relayout; reductions reassociate -> tolerance)."""
+    import jax
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from matchnerf_tpu.models.matchnerf import init_matchnerf
+    from matchnerf_tpu.train_step import build_optimizer, make_train_step
+    from matchnerf_tpu.utils import DotDict
+
+    B, H, W = 1, 16, 16
+    losses = {}
+    for fmt in ("NHWC", "NCHW"):
+        cfg = ge._tiny_cfg(n_layers=1, sample_intvs=4)
+        cfg = DotDict(dict(cfg))
+        cfg.encoder = DotDict(dict(cfg.encoder))
+        cfg.encoder.conv_data_format = fmt
+        params = init_matchnerf(jax.random.PRNGKey(0), cfg)
+        tx, _ = build_optimizer(cfg, total_steps=10)
+        opt_state = tx.init(params)
+        d = ge._synthetic_inputs(cfg, B, H, W, R=16)
+        batch = {"images": d["images"], "extrinsics": d["poses"],
+                 "intrinsics": d["intr"], "near_fars": d["near_fars"],
+                 "tgt_c2w": d["tgt_c2w"]}
+        step = make_train_step(cfg, tx, H, W, n_rays=32)
+        _, _, loss = step(params, opt_state, batch, jax.random.PRNGKey(1))
+        losses[fmt] = float(loss["all"])
+    np.testing.assert_allclose(losses["NCHW"], losses["NHWC"], rtol=1e-4)
