@@ -158,17 +158,17 @@ def process_options(opt: DotDict):
 
     # multi-host: the default name embeds a host-local timestamp (and a
     # random suffix when seed is unset) — every host must agree on the run
-    # directory, so all adopt host 0's resolved name. No-op single-process.
-    import jax
+    # directory, so all adopt host 0's resolved name. Gated on the module
+    # flag (NOT jax.process_count(), which would force backend init during
+    # config parsing); single-process flow never touches jax here.
+    from .parallel import distributed as dist
 
-    if jax.process_count() > 1:
-        from .parallel.distributed import broadcast_str
-
-        opt["name"] = broadcast_str(str(opt["name"]))
+    if dist.is_initialized() and dist.process_count() > 1:
+        opt["name"] = dist.broadcast_str(str(opt["name"]))
 
     opt["output_path"] = os.path.join(opt.get("output_root", "outputs"), str(opt["name"]))
     os.makedirs(opt["output_path"], exist_ok=True)
-    if jax.process_index() == 0:
+    if not dist.is_initialized() or dist.process_index() == 0:
         with open(os.path.join(opt["output_path"], "run.bash"), "a+") as f:
             f.write("python %s\n" % " ".join(sys.argv))
 
